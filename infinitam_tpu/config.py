@@ -1,0 +1,150 @@
+"""Static configuration for the SLAM pipeline.
+
+Re-expresses the reference's compile-time macros and runtime settings
+(reference: ITMLib/Utils/ITMLibDefines.h:37-62, ITMLib/Utils/ITMLibSettings.{h,cpp})
+as frozen dataclasses. Everything here is a jit-time constant: capacities are
+static shapes, thresholds are baked into the compiled program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Tuple
+
+
+class TrackerType(enum.Enum):
+    """Camera tracker selection (reference: ITMLibSettings.h:22-37)."""
+
+    COLOR = "color"
+    ICP = "icp"
+    REN = "ren"
+    IMU = "imu"
+    WICP = "wicp"
+    EXTERNAL = "external"
+
+
+class SwappingMode(enum.Enum):
+    DISABLED = "disabled"
+    ENABLED = "enabled"
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneParams:
+    """TSDF volume parameters (reference: ITMLib/Objects/ITMSceneParams.h,
+    defaults from ITMLibSettings.cpp:10)."""
+
+    voxel_size: float = 0.005  # metres
+    mu: float = 0.02  # TSDF truncation band, metres
+    max_w: int = 100  # fusion running-average weight cap
+    view_frustum_min: float = 0.35  # metres
+    view_frustum_max: float = 3.0  # metres
+    stop_integrating_at_max_w: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class VoxelBlockHashParams:
+    """Sparse voxel-block-hash capacities (reference: ITMLibDefines.h:37-62).
+
+    All capacities are static shapes. The defaults match the reference:
+    2^20 ordered buckets, 2^17 excess entries, 2^16 live blocks of 8^3 voxels.
+    Tests use much smaller instances.
+    """
+
+    block_size: int = 8  # voxels per block edge (SDF_BLOCK_SIZE)
+    n_buckets: int = 0x100000  # ordered part of the hash table (SDF_BUCKET_NUM)
+    n_excess: int = 0x20000  # excess (collision) list size (SDF_EXCESS_LIST_SIZE)
+    n_blocks: int = 0x10000  # live voxel blocks on device (SDF_LOCAL_BLOCK_NUM)
+    n_transfer_blocks: int = 0x1000  # swap slab size (SDF_TRANSFER_BLOCK_NUM)
+    n_global_blocks: int = 0x120000  # host-side store (SDF_GLOBAL_BLOCK_NUM)
+    max_visible_blocks: int = 0x10000  # visible-list capacity
+
+    @property
+    def block_volume(self) -> int:
+        return self.block_size**3
+
+    @property
+    def n_entries(self) -> int:
+        return self.n_buckets + self.n_excess
+
+    @property
+    def hash_mask(self) -> int:
+        return self.n_buckets - 1
+
+
+@dataclasses.dataclass(frozen=True)
+class PlainVoxelArrayParams:
+    """Dense voxel volume extents (reference: ITMPlainVoxelArray.h:27-37,
+    default 512^3 with offset (-256,-256,0))."""
+
+    size: Tuple[int, int, int] = (512, 512, 512)
+    offset: Tuple[int, int, int] = (-256, -256, 0)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackingParams:
+    """Hierarchical tracker regime (reference: ITMLibSettings.cpp:30-55,
+    ITMDepthTracker.cpp:19-28)."""
+
+    n_levels: int = 5
+    # Gauss-Newton iterations per level, coarse→fine
+    # (reference: ITMDepthTracker.cpp:19-23 — {10, 8, 6, 4, 2} coarse-first).
+    iterations_per_level: Tuple[int, ...] = (2, 4, 6, 8, 10)  # fine→coarse order
+    # ICP outlier distance threshold, metres^2, per level fine→coarse
+    # (reference: ITMDepthTracker.cpp:25-28 ramps distThresh by +0.005f^2? —
+    # base depth_tracking_icp_threshold = 0.1m squared at the finest level).
+    dist_thresh: float = 0.1 * 0.1
+    # Per-level threshold ramp (reference: ITMDepthTracker.cpp:25-28).
+    dist_thresh_ramp: float = 0.0
+    termination_threshold: float = 1e-3
+    # Coarse levels optimize rotation only when True (reference:
+    # ITMLibSettings.cpp:36-47 trackingRegime: both at fine levels, rotation
+    # at the two coarsest of five levels).
+    n_rotation_only_levels: int = 2
+    # Minimum valid points for a usable system (reference:
+    # ITMDepthTracker_CUDA.cu:105 gates noValidPoints>100).
+    min_valid_points: int = 100
+    # Run ICP only down to this level (reference noICPRunTillLevel=0).
+    no_icp_run_till_level: int = 0
+    # Color tracker (reference: ITMColorTracker.cpp): LM trust region.
+    color_n_levels: int = 4
+    color_skip_points: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class Settings:
+    """Top-level runtime settings (reference: ITMLib/Utils/ITMLibSettings.h)."""
+
+    scene: SceneParams = SceneParams()
+    hashing: VoxelBlockHashParams = VoxelBlockHashParams()
+    plain: PlainVoxelArrayParams = PlainVoxelArrayParams()
+    tracking: TrackingParams = TrackingParams()
+    tracker_type: TrackerType = TrackerType.ICP
+    swapping_mode: SwappingMode = SwappingMode.DISABLED
+    use_approximate_raycast: bool = False
+    use_bilateral_filter: bool = False
+    model_sensor_noise: bool = False  # fills normals + uncertainty in the view
+    use_color: bool = False  # fuse RGB into the volume
+    skip_points: bool = True  # subsample point cloud extraction 2x
+    # Raycast expected-depth subsampling (reference minmaximg_subsample=8,
+    # DeviceAgnostic/ITMVisualisationEngine.h:24).
+    minmax_subsample: int = 8
+
+    def replace(self, **kw) -> "Settings":
+        return dataclasses.replace(self, **kw)
+
+
+def tiny_test_settings() -> Settings:
+    """Small capacities for fast CPU tests."""
+    return Settings(
+        scene=SceneParams(voxel_size=0.02, mu=0.08),
+        hashing=VoxelBlockHashParams(
+            n_buckets=0x1000,
+            n_excess=0x200,
+            n_blocks=0x800,
+            n_transfer_blocks=0x100,
+            n_global_blocks=0x1000,
+            max_visible_blocks=0x800,
+        ),
+        plain=PlainVoxelArrayParams(size=(128, 128, 128), offset=(-64, -64, 0)),
+    )

@@ -1,0 +1,26 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+This mirrors the reference's implicit CPU-as-oracle strategy (SURVEY.md §4):
+all math runs on CPU here and must match TPU behaviour; sharding tests get 8
+virtual devices via --xla_force_host_platform_device_count.
+MUST run before jax is imported anywhere.
+"""
+
+import os
+
+# Hard override: the ambient environment may pin JAX_PLATFORMS to the real
+# TPU tunnel (axon); tests must run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+# Persistent compilation cache: recompiling the pipeline dominates test time
+# otherwise.
+jax.config.update("jax_compilation_cache_dir", "/tmp/itpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,360 @@
+"""End-to-end per-frame pipeline on the voxel-block-hash volume.
+
+The reference's default configuration (ITMVoxelIndex=ITMVoxelBlockHash,
+ITMLibDefines.h:206-211). Orchestration parity:
+- ITMDenseMapper::ProcessFrame (ITMDenseMapper.cpp:51-65):
+  AllocateSceneFromDepth → IntegrateIntoScene (→ swap in/out when enabled)
+- ITMSceneReconstructionEngine_CUDA.cu:89-230 (alloc/integrate kernels)
+- ITMTrackingController::Prepare → CreateExpectedDepths + CreateICPMaps
+
+TPU-native: integration gathers the visible blocks into a dense
+[V, 512]-voxel batch, runs ONE fused elementwise update, and scatters back;
+allocation is the scatter/cumsum protocol in hash_volume.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from infinitam_tpu.config import Settings
+from infinitam_tpu.engine import hash_volume as hv
+from infinitam_tpu.engine.hash_volume import HashVolume, RenderStateVH
+from infinitam_tpu.engine.tracking_state import TrackingState, create_tracking_state
+from infinitam_tpu.engine.trackers import TrackResult, track_depth
+from infinitam_tpu.engine.view_builder import View
+from infinitam_tpu.ops import hashing
+from infinitam_tpu.ops import raycast as rc
+from infinitam_tpu.ops import tsdf
+from infinitam_tpu.utils import se3
+
+# static bound on the ±mu band DDA (the band is 2·mu metres ≈ 1 block long,
+# so ≤ 1 + 3 axis crossings + slack; 6 covers all sane configs)
+MAX_BAND_STEPS = 6
+
+
+class FrameDiagnostics(NamedTuple):
+    f: jnp.ndarray
+    num_valid: jnp.ndarray
+    n_visible: jnp.ndarray
+    n_free_blocks: jnp.ndarray
+
+
+def allocate_scene_from_depth(
+    vol: HashVolume,
+    render_state: RenderStateVH,
+    depth: jnp.ndarray,
+    pose: jnp.ndarray,
+    proj: jnp.ndarray,
+    settings: Settings,
+    only_update_visible: bool = False,
+) -> Tuple[HashVolume, RenderStateVH]:
+    """AllocateSceneFromDepth (reference: _CUDA.cu:89-170): demote last
+    frame's visibles → plan from the depth band → allocate → rebuild the
+    compacted visible list."""
+    hp = settings.hashing
+    sp = settings.scene
+    img_size = depth.shape
+
+    visible_type = hv.set_previous_visible(render_state)
+
+    blocks, valid = hashing.blocks_on_ray_segment(
+        depth,
+        proj,
+        se3.invert(pose),
+        sp.mu,
+        sp.voxel_size,
+        hp.block_size,
+        MAX_BAND_STEPS,
+        sp.view_frustum_min,
+        sp.view_frustum_max,
+    )
+    cand = blocks.reshape(-1, 3)
+    cand_valid = valid.reshape(-1)
+
+    # Two plan/execute rounds: the scatter race lets one NEW block win a
+    # contended bucket per round (the reference defers losers to the next
+    # FRAME — ITMSceneReconstructionEngine_CUDA.cu's benign race); a second
+    # round against the updated table allocates the losers into the excess
+    # list immediately, removing the reference's first-frame pinholes.
+    for _round in range(2):
+        plan = hv.plan_allocations(vol, visible_type, cand, cand_valid, hp)
+        if only_update_visible:
+            visible_type = plan.visible_type
+            break
+        vol, visible_type = hv.execute_allocations(vol, plan, hp)
+
+    use_swapping = settings.swapping_mode.value == "enabled"
+    new_rs = hv.build_visible_list(
+        vol, visible_type, pose, proj, img_size, sp.voxel_size, hp,
+        use_enlarged=use_swapping,
+    )
+    return vol, new_rs
+
+
+def integrate_into_scene(
+    vol: HashVolume,
+    render_state: RenderStateVH,
+    view: View,
+    pose: jnp.ndarray,
+    proj: jnp.ndarray,
+    settings: Settings,
+    proj_rgb: jnp.ndarray | None = None,
+    rgb_to_depth: jnp.ndarray | None = None,
+) -> HashVolume:
+    """IntegrateIntoScene (reference: integrateIntoScene_device — grid over
+    visible blocks × 8³ threads): gather → fused TSDF update → scatter."""
+    hp = settings.hashing
+    sp = settings.scene
+    S = hp.block_size
+    S3 = hp.block_volume
+    B = vol.voxel_sdf.shape[0]
+
+    ids = render_state.visible_ids  # [V]
+    ids_c = jnp.clip(ids, 0, hp.n_entries - 1)
+    ptr = vol.entry_ptr[ids_c]  # [V]
+    bpos = vol.entry_pos[ids_c]  # [V, 3]
+    valid = (ids >= 0) & (ptr >= 0)
+    ptr_c = jnp.where(valid, ptr, 0)
+
+    # world positions of every voxel in every visible block
+    lin = jnp.arange(S3, dtype=jnp.int32)
+    lx = lin % S
+    ly = (lin // S) % S
+    lz = lin // (S * S)
+    local = jnp.stack([lx, ly, lz], axis=-1)  # [S³, 3]
+    gvox = bpos[:, None, :] * S + local[None, :, :]  # [V, S³, 3]
+    pt_world = gvox.astype(jnp.float32) * sp.voxel_size
+
+    old_sdf = vol.voxel_sdf[ptr_c]  # [V, S³]
+    old_w = vol.voxel_w[ptr_c]
+
+    with_color = settings.use_color and view.rgb is not None and vol.clr is not None
+    M_rgb = None
+    rgb = None
+    old_clr = old_wc = None
+    if with_color:
+        M_rgb = rgb_to_depth @ pose if rgb_to_depth is not None else pose
+        rgb = view.rgb
+        old_clr = vol.clr[ptr_c]
+        old_wc = vol.w_color[ptr_c]
+
+    new_sdf, new_w, new_clr, new_wc = tsdf.integrate_dense(
+        old_sdf,
+        old_w,
+        pt_world,
+        pose,
+        proj,
+        view.depth,
+        sp.mu,
+        sp.max_w,
+        stop_at_max_w=sp.stop_integrating_at_max_w,
+        vol_clr=old_clr,
+        vol_wc=old_wc,
+        M_rgb=M_rgb,
+        proj_rgb=proj_rgb,
+        rgb=rgb,
+    )
+
+    scatter_idx = jnp.where(valid, ptr_c, B)  # B → dropped
+    voxel_sdf = vol.voxel_sdf.at[scatter_idx].set(new_sdf, mode="drop")
+    voxel_w = vol.voxel_w.at[scatter_idx].set(new_w, mode="drop")
+    clr = vol.clr
+    wc = vol.w_color
+    if with_color:
+        clr = vol.clr.at[scatter_idx].set(new_clr, mode="drop")
+        wc = vol.w_color.at[scatter_idx].set(new_wc, mode="drop")
+    return vol._replace(voxel_sdf=voxel_sdf, voxel_w=voxel_w, clr=clr, w_color=wc)
+
+
+def expected_depth_ranges(
+    vol: HashVolume,
+    render_state: RenderStateVH,
+    pose: jnp.ndarray,
+    proj: jnp.ndarray,
+    img_size: Tuple[int, int],
+    settings: Settings,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel raycast search range from visible-block projections
+    (reference: CreateExpectedDepths → projectAndSplitBlocks + fillBlocks —
+    atomicMin/Max z into a ×8-subsampled minmax image → scatter-min/max here).
+
+    Returns (zmin, zmax) at FULL resolution (upsampled from the subsampled
+    grid like the reference's raycast lookup does).
+    """
+    hp = settings.hashing
+    sp = settings.scene
+    H, W = img_size
+    sub = settings.minmax_subsample
+    Hs, Ws = (H + sub - 1) // sub, (W + sub - 1) // sub
+    fx, fy, cx, cy = proj[0], proj[1], proj[2], proj[3]
+
+    ids = render_state.visible_ids
+    ids_c = jnp.clip(ids, 0, hp.n_entries - 1)
+    ptr = vol.entry_ptr[ids_c]
+    bpos = vol.entry_pos[ids_c].astype(jnp.float32)
+    valid = (ids >= 0) & (ptr >= 0)
+
+    factor = hp.block_size * sp.voxel_size
+    # project 8 corners of each block → 2-D bbox + z range
+    us = []
+    vs = []
+    zs = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                corner = (bpos + jnp.array([dx, dy, dz], dtype=jnp.float32)) * factor
+                pc = jnp.einsum("ij,vj->vi", pose[:3, :3], corner) + pose[:3, 3]
+                z = pc[..., 2]
+                ok = z > 1e-6
+                zsafe = jnp.where(ok, z, 1.0)
+                us.append(jnp.where(ok, fx * pc[..., 0] / zsafe + cx, jnp.where(z <= 0, -1e9, 1e9)))
+                vs.append(jnp.where(ok, fy * pc[..., 1] / zsafe + cy, jnp.where(z <= 0, -1e9, 1e9)))
+                zs.append(z)
+    U = jnp.stack(us, axis=-1)
+    V = jnp.stack(vs, axis=-1)
+    Z = jnp.stack(zs, axis=-1)
+    behind = jnp.any(Z <= 0, axis=-1)  # block partly behind camera: fall back
+    u0 = jnp.clip(jnp.floor(jnp.min(U, axis=-1) / sub).astype(jnp.int32), 0, Ws - 1)
+    u1 = jnp.clip(jnp.ceil(jnp.max(U, axis=-1) / sub).astype(jnp.int32), 0, Ws - 1)
+    v0 = jnp.clip(jnp.floor(jnp.min(V, axis=-1) / sub).astype(jnp.int32), 0, Hs - 1)
+    v1 = jnp.clip(jnp.ceil(jnp.max(V, axis=-1) / sub).astype(jnp.int32), 0, Hs - 1)
+    zmin_b = jnp.maximum(jnp.min(Z, axis=-1), sp.view_frustum_min)
+    zmax_b = jnp.minimum(jnp.max(Z, axis=-1), sp.view_frustum_max)
+    zmin_b = jnp.where(behind, sp.view_frustum_min, zmin_b)
+    zmax_b = jnp.where(behind, sp.view_frustum_max, zmax_b)
+
+    # rasterize bboxes into the subsampled minmax grid with scatter-min/max.
+    # Blocks are small after projection; cap the bbox tile at MAX_T cells and
+    # let oversized blocks (very close to the camera) widen to the frustum.
+    MAX_T = 8
+    too_big = ((u1 - u0) >= MAX_T) | ((v1 - v0) >= MAX_T)
+    zmin_b = jnp.where(too_big, sp.view_frustum_min, zmin_b)
+    zmax_b = jnp.where(too_big, sp.view_frustum_max, zmax_b)
+    u1c = jnp.minimum(u1, u0 + MAX_T - 1)
+    v1c = jnp.minimum(v1, v0 + MAX_T - 1)
+
+    zmin_img = jnp.full((Hs * Ws,), sp.view_frustum_max, dtype=jnp.float32)
+    zmax_img = jnp.full((Hs * Ws,), sp.view_frustum_min, dtype=jnp.float32)
+    dus = jnp.arange(MAX_T)
+    dvs = jnp.arange(MAX_T)
+    uu = u0[:, None, None] + dus[None, :, None]  # [V, T, 1]
+    vv = v0[:, None, None] + dvs[None, None, :]  # [V, 1, T]
+    in_box = (uu <= u1c[:, None, None]) & (vv <= v1c[:, None, None]) & valid[:, None, None]
+    flat = jnp.where(in_box, vv * Ws + uu, Hs * Ws)  # out-of-range → dropped
+    zmin_v = jnp.broadcast_to(zmin_b[:, None, None], flat.shape)
+    zmax_v = jnp.broadcast_to(zmax_b[:, None, None], flat.shape)
+    zmin_img = zmin_img.at[flat.reshape(-1)].min(zmin_v.reshape(-1), mode="drop")
+    zmax_img = zmax_img.at[flat.reshape(-1)].max(zmax_v.reshape(-1), mode="drop")
+
+    zmin_img = zmin_img.reshape(Hs, Ws)
+    zmax_img = zmax_img.reshape(Hs, Ws)
+    # empty cells: zmax < zmin → collapse the march to a no-op
+    empty = zmax_img < zmin_img
+    zmin_img = jnp.where(empty, sp.view_frustum_max, zmin_img)
+    zmax_img = jnp.where(empty, sp.view_frustum_max, zmax_img)
+
+    # upsample to full res (nearest; reference raycast reads the subsampled
+    # image directly at x/8)
+    rows = jnp.arange(H) // sub
+    cols = jnp.arange(W) // sub
+    return zmin_img[rows][:, cols], zmax_img[rows][:, cols]
+
+
+def raycast_hash(
+    vol: HashVolume,
+    render_state: RenderStateVH,
+    pose: jnp.ndarray,
+    proj: jnp.ndarray,
+    img_size: Tuple[int, int],
+    settings: Settings,
+) -> rc.RaycastResult:
+    sp = settings.scene
+    zmin, zmax = expected_depth_ranges(vol, render_state, pose, proj, img_size, settings)
+    read = hv.make_hash_reader(vol, settings.hashing)
+    return rc.generic_raycast(
+        read,
+        se3.invert(pose),
+        proj,
+        img_size,
+        1.0 / sp.voxel_size,
+        sp.mu,
+        zmin,
+        zmax,
+        block_size=settings.hashing.block_size,
+    )
+
+
+def prepare_tracking_maps(
+    vol: HashVolume,
+    render_state: RenderStateVH,
+    pose: jnp.ndarray,
+    proj: jnp.ndarray,
+    img_size: Tuple[int, int],
+    settings: Settings,
+):
+    res = raycast_hash(vol, render_state, pose, proj, img_size, settings)
+    return rc.make_icp_maps(res, settings.scene.voxel_size, se3.invert(pose))
+
+
+@partial(jax.jit, static_argnames=("settings", "fusion_active"))
+def process_frame_hash(
+    vol: HashVolume,
+    render_state: RenderStateVH,
+    state: TrackingState,
+    view: View,
+    proj: jnp.ndarray,
+    settings: Settings,
+    fusion_active: bool = True,
+) -> Tuple[HashVolume, RenderStateVH, TrackingState, FrameDiagnostics]:
+    """One full frame on the hash volume: track → allocate+fuse → raycast."""
+    img_size = view.depth.shape
+
+    tr: TrackResult = track_depth(
+        state.pose,
+        view.depth,
+        proj,
+        state.points_map,
+        state.normals_map,
+        state.pose_point_cloud,
+        settings.tracking,
+    )
+    have_maps = state.age >= 0
+    pose = jnp.where(have_maps, tr.pose, state.pose)
+
+    vol, render_state = allocate_scene_from_depth(
+        vol, render_state, view.depth, pose, proj, settings,
+        only_update_visible=not fusion_active,
+    )
+    if fusion_active:
+        vol = integrate_into_scene(vol, render_state, view, pose, proj, settings)
+
+    points_map, normals_map = prepare_tracking_maps(
+        vol, render_state, pose, proj, img_size, settings
+    )
+
+    new_state = TrackingState(
+        pose=pose,
+        points_map=points_map,
+        normals_map=normals_map,
+        pose_point_cloud=pose,
+        age=jnp.array(0, dtype=jnp.int32),
+        f=tr.f,
+        num_valid=tr.num_valid,
+    )
+    diag = FrameDiagnostics(
+        f=tr.f,
+        num_valid=tr.num_valid,
+        n_visible=render_state.n_visible,
+        n_free_blocks=vol.last_free_block + 1,
+    )
+    return vol, render_state, new_state, diag
+
+
+def create_engine_state(settings: Settings, img_size: Tuple[int, int]):
+    vol = hv.create_hash(settings.hashing, with_color=settings.use_color)
+    rs = hv.create_render_state(settings.hashing)
+    return vol, rs, create_tracking_state(img_size)

@@ -1,0 +1,347 @@
+"""Voxel-block-hash world model: SoA hash table + block array, TPU-native.
+
+Reference parity: ITMLib/Objects/ITMVoxelBlockHash.h:22 (2^20 ordered buckets
++ excess chain entries), ITMLocalVBA.h:19 (block storage + free list), and the
+allocation protocol of ITMSceneReconstructionEngine_CUDA.cu:350-495
+(buildHashAllocAndVisibleType → allocateVoxelBlocksList → buildVisibleList).
+
+TPU-native design decisions (SURVEY.md §7):
+- the hash table is three flat int arrays (pos/ptr/offset) probed with
+  vectorized gathers and a statically-unrolled chain walk — no pointers;
+- CUDA's atomic free-list pops become a cumsum over the per-entry allocation
+  plan + a slice of the free stack;
+- the "which pixel wins a contended bucket" race becomes a duplicate-index
+  scatter (unspecified winner), reproducing the reference's benign
+  last-writer-wins collision semantics including same-frame deferral;
+- prefix-sum stream compaction of the visible list is `jnp.nonzero(size=K)`.
+
+entry_ptr semantics (reference ITMHashEntry.ptr): ≥0 → block index in the
+VBA; −1 → allocated but swapped out to host; ≤−2 → empty entry.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+
+from infinitam_tpu.config import VoxelBlockHashParams
+from infinitam_tpu.ops.hashing import hash_index, point_to_block
+
+FREE_PTR = -2  # empty hash entry
+SWAPPED_PTR = -1  # allocated, streamed out to the host tier
+
+# visible_type codes (reference ITMRenderState_VH semantics)
+VT_NOT_VISIBLE = 0
+VT_VISIBLE = 1
+VT_VISIBLE_SWAPPED = 2
+VT_VISIBLE_PREVIOUS = 3
+
+# static bound on hash-chain walks; the default table's load factor is ~6%
+# so chains beyond a few links are vanishingly rare
+MAX_PROBE = 4
+
+
+class HashVolume(NamedTuple):
+    entry_pos: jnp.ndarray  # [E, 3] int32 block coords
+    entry_ptr: jnp.ndarray  # [E] int32 (see semantics above)
+    entry_offset: jnp.ndarray  # [E] int32: 0 = chain end, k>0 → excess idx k−1
+    voxel_sdf: jnp.ndarray  # [B, S³] float32 (linear idx x + y·S + z·S²)
+    voxel_w: jnp.ndarray  # [B, S³] int32
+    alloc_list: jnp.ndarray  # [B] int32 free block stack
+    last_free_block: jnp.ndarray  # scalar int32: index of stack top
+    excess_list: jnp.ndarray  # [X] int32 free excess-entry stack
+    last_free_excess: jnp.ndarray  # scalar int32
+    clr: Optional[jnp.ndarray] = None  # [B, S³, 3] float32
+    w_color: Optional[jnp.ndarray] = None  # [B, S³] int32
+
+
+class RenderStateVH(NamedTuple):
+    """Visible-entry bookkeeping (reference: ITMRenderState_VH:18)."""
+
+    visible_type: jnp.ndarray  # [E] int32 (VT_* codes)
+    visible_ids: jnp.ndarray  # [V] int32, −1 padding
+    n_visible: jnp.ndarray  # scalar int32
+
+
+def create_hash(params: VoxelBlockHashParams, with_color: bool = False) -> HashVolume:
+    """Allocate + reset (reference: ITMVoxelBlockHash ctor + ResetScene —
+    free lists full, all entries empty, sdf=1, w=0)."""
+    E = params.n_entries
+    B = params.n_blocks
+    X = params.n_excess
+    S3 = params.block_volume
+    vol = HashVolume(
+        entry_pos=jnp.zeros((E, 3), dtype=jnp.int32),
+        entry_ptr=jnp.full((E,), FREE_PTR, dtype=jnp.int32),
+        entry_offset=jnp.zeros((E,), dtype=jnp.int32),
+        voxel_sdf=jnp.ones((B, S3), dtype=jnp.float32),
+        voxel_w=jnp.zeros((B, S3), dtype=jnp.int32),
+        alloc_list=jnp.arange(B, dtype=jnp.int32),
+        last_free_block=jnp.array(B - 1, dtype=jnp.int32),
+        excess_list=jnp.arange(X, dtype=jnp.int32),
+        last_free_excess=jnp.array(X - 1, dtype=jnp.int32),
+        clr=jnp.zeros((B, S3, 3), dtype=jnp.float32) if with_color else None,
+        w_color=jnp.zeros((B, S3), dtype=jnp.int32) if with_color else None,
+    )
+    return vol
+
+
+def create_render_state(params: VoxelBlockHashParams) -> RenderStateVH:
+    return RenderStateVH(
+        visible_type=jnp.zeros((params.n_entries,), dtype=jnp.int32),
+        visible_ids=jnp.full((params.max_visible_blocks,), -1, dtype=jnp.int32),
+        n_visible=jnp.array(0, dtype=jnp.int32),
+    )
+
+
+class ProbeResult(NamedTuple):
+    found: jnp.ndarray  # bool: matching entry with ptr ≥ min_ptr
+    entry_idx: jnp.ndarray  # int32 entry index when found (else arbitrary)
+    entry_ptr: jnp.ndarray  # ptr at the found entry (garbage when not found)
+    tail_idx: jnp.ndarray  # last entry index visited in the chain
+    ordered_empty: jnp.ndarray  # bool: the ordered bucket itself is empty
+
+
+def probe(
+    vol: HashVolume,
+    block_pos: jnp.ndarray,  # [..., 3] int32
+    params: VoxelBlockHashParams,
+    include_swapped: bool = True,
+) -> ProbeResult:
+    """Vectorized hash-chain walk (reference: findVoxel hash overload,
+    ITMRepresentationAccess.h:22-54, statically unrolled to MAX_PROBE links).
+    """
+    min_ptr = SWAPPED_PTR if include_swapped else 0
+    idx0 = hash_index(block_pos, params.hash_mask)
+
+    cur = idx0
+    found = jnp.zeros(block_pos.shape[:-1], dtype=bool)
+    found_idx = idx0
+    found_ptr = jnp.full(block_pos.shape[:-1], FREE_PTR, dtype=jnp.int32)
+    tail = idx0
+    ordered_empty = vol.entry_ptr[idx0] < SWAPPED_PTR
+
+    for _ in range(MAX_PROBE):
+        pos = vol.entry_pos[cur]
+        ptr = vol.entry_ptr[cur]
+        off = vol.entry_offset[cur]
+        match = jnp.all(pos == block_pos, axis=-1) & (ptr >= min_ptr) & ~found
+        found_idx = jnp.where(match, cur, found_idx)
+        found_ptr = jnp.where(match, ptr, found_ptr)
+        found = found | match
+        has_next = (off >= 1) & ~found
+        nxt = params.n_buckets + off - 1
+        tail = jnp.where(has_next, nxt, tail)
+        cur = jnp.where(has_next, nxt, cur)
+
+    return ProbeResult(
+        found=found,
+        entry_idx=found_idx,
+        entry_ptr=found_ptr,
+        tail_idx=tail,
+        ordered_empty=ordered_empty,
+    )
+
+
+def make_hash_reader(vol: HashVolume, params: VoxelBlockHashParams):
+    """`(int voxel pts) -> (sdf, found)` closure for ops/voxel_access.py
+    combinators (reference: readVoxel hash overload — empty voxel sdf = 1)."""
+    S = params.block_size
+
+    def read(pts_int: jnp.ndarray):
+        block, linear = point_to_block(pts_int, S)
+        pr = probe(vol, block, params, include_swapped=False)
+        blk = jnp.where(pr.found, pr.entry_ptr, 0)
+        sdf = vol.voxel_sdf[blk, linear]
+        return jnp.where(pr.found, sdf, 1.0), pr.found
+
+    return read
+
+
+def make_hash_color_reader(vol: HashVolume, params: VoxelBlockHashParams):
+    S = params.block_size
+
+    def read(pts_int: jnp.ndarray):
+        if vol.clr is None:
+            return jnp.zeros(pts_int.shape[:-1] + (3,), dtype=jnp.float32)
+        block, linear = point_to_block(pts_int, S)
+        pr = probe(vol, block, params, include_swapped=False)
+        blk = jnp.where(pr.found, pr.entry_ptr, 0)
+        c = vol.clr[blk, linear]
+        return jnp.where(pr.found[..., None], c, 0.0)
+
+    return read
+
+
+class AllocationPlan(NamedTuple):
+    alloc_type: jnp.ndarray  # [E] int32: 0 none, 1 ordered, 2 excess
+    block_coords: jnp.ndarray  # [E, 3] int32 requested block pos
+    visible_type: jnp.ndarray  # [E] int32 updated visibility marks
+
+
+def plan_allocations(
+    vol: HashVolume,
+    visible_type: jnp.ndarray,  # [E] int32 (entries from last frame pre-set to 3)
+    cand_blocks: jnp.ndarray,  # [N, 3] int32 candidate block coords
+    cand_valid: jnp.ndarray,  # [N] bool
+    params: VoxelBlockHashParams,
+) -> AllocationPlan:
+    """Mark entries to allocate + visibility of touched entries (reference:
+    buildHashAllocAndVisibleTypePP scatter phase). Contended buckets keep ONE
+    winner per frame (duplicate-index scatter), like the reference's benign
+    last-writer-wins CUDA race; losers retry next frame."""
+    E = params.n_entries
+    pr = probe(vol, cand_blocks, params, include_swapped=True)
+
+    # visibility marks for found entries: 2 if swapped out, 1 otherwise
+    vis_val = jnp.where(pr.entry_ptr == SWAPPED_PTR, VT_VISIBLE_SWAPPED, VT_VISIBLE)
+    vis_idx = jnp.where(cand_valid & pr.found, pr.entry_idx, E)  # E → dropped
+    visible_type = visible_type.at[vis_idx].set(
+        jnp.where(cand_valid & pr.found, vis_val, 0), mode="drop"
+    )
+
+    need = cand_valid & ~pr.found
+    a_type = jnp.where(pr.ordered_empty, 1, 2)
+    tidx = jnp.where(need, pr.tail_idx, E)
+
+    alloc_type = jnp.zeros((E,), dtype=jnp.int32).at[tidx].set(
+        jnp.where(need, a_type, 0), mode="drop"
+    )
+    block_coords = jnp.zeros((E, 3), dtype=jnp.int32).at[tidx].set(
+        cand_blocks, mode="drop"
+    )
+    # new ordered entries are visible immediately (reference: planning sets
+    # entriesVisibleType[hashIdx]=1 for !isExcess)
+    vidx1 = jnp.where(need & (a_type == 1), pr.tail_idx, E)
+    visible_type = visible_type.at[vidx1].set(VT_VISIBLE, mode="drop")
+    return AllocationPlan(alloc_type=alloc_type, block_coords=block_coords, visible_type=visible_type)
+
+
+def execute_allocations(
+    vol: HashVolume, plan: AllocationPlan, params: VoxelBlockHashParams
+) -> Tuple[HashVolume, jnp.ndarray]:
+    """Pop free lists and write new entries (reference:
+    allocateVoxelBlocksList_device). Returns (vol, visible_type) — excess
+    children become visible here."""
+    E = params.n_entries
+    visible_type = plan.visible_type
+
+    needs_block = plan.alloc_type > 0
+    needs_excess = plan.alloc_type == 2
+
+    block_rank = jnp.cumsum(needs_block.astype(jnp.int32)) - 1  # [E]
+    excess_rank = jnp.cumsum(needs_excess.astype(jnp.int32)) - 1
+
+    blk_list_idx = vol.last_free_block - block_rank
+    exl_list_idx = vol.last_free_excess - excess_rank
+    has_block = needs_block & (blk_list_idx >= 0)
+    has_excess = needs_excess & (exl_list_idx >= 0)
+
+    new_block = vol.alloc_list[jnp.clip(blk_list_idx, 0, vol.alloc_list.shape[0] - 1)]
+    excess_slot = vol.excess_list[jnp.clip(exl_list_idx, 0, vol.excess_list.shape[0] - 1)]
+
+    entry_pos = vol.entry_pos
+    entry_ptr = vol.entry_ptr
+    entry_offset = vol.entry_offset
+
+    # --- type 1: write the ordered bucket itself -----------------------
+    do1 = (plan.alloc_type == 1) & has_block
+    idx1 = jnp.where(do1, jnp.arange(E), E)
+    entry_pos = entry_pos.at[idx1].set(plan.block_coords, mode="drop")
+    entry_ptr = entry_ptr.at[idx1].set(new_block, mode="drop")
+    entry_offset = entry_offset.at[idx1].set(0, mode="drop")
+
+    # --- type 2: write an excess child + link parent -------------------
+    do2 = (plan.alloc_type == 2) & has_block & has_excess
+    child = params.n_buckets + excess_slot
+    cidx = jnp.where(do2, child, E)
+    entry_pos = entry_pos.at[cidx].set(plan.block_coords, mode="drop")
+    entry_ptr = entry_ptr.at[cidx].set(new_block, mode="drop")
+    entry_offset = entry_offset.at[cidx].set(0, mode="drop")
+    pidx = jnp.where(do2, jnp.arange(E), E)
+    entry_offset = entry_offset.at[pidx].set(excess_slot + 1, mode="drop")
+    visible_type = visible_type.at[cidx].set(VT_VISIBLE, mode="drop")
+
+    n_blocks_taken = jnp.sum((do1 | do2).astype(jnp.int32))
+    n_excess_taken = jnp.sum(do2.astype(jnp.int32))
+
+    new_vol = vol._replace(
+        entry_pos=entry_pos,
+        entry_ptr=entry_ptr,
+        entry_offset=entry_offset,
+        last_free_block=vol.last_free_block - n_blocks_taken,
+        last_free_excess=vol.last_free_excess - n_excess_taken,
+    )
+    return new_vol, visible_type
+
+
+def check_block_visibility(
+    block_pos: jnp.ndarray,  # [..., 3]
+    M_d: jnp.ndarray,
+    proj: jnp.ndarray,
+    img_size: Tuple[int, int],
+    voxel_size: float,
+    block_size: int,
+    enlarged: bool = False,
+) -> jnp.ndarray:
+    """Project the 8 block corners; visible if any lands in the image
+    (reference: checkBlockVisibility / checkPointVisibility; `enlarged` pads
+    the bounds by 1/8 image for the swapping path)."""
+    H, W = img_size
+    fx, fy, cx, cy = proj[0], proj[1], proj[2], proj[3]
+    factor = block_size * voxel_size
+    base = block_pos.astype(jnp.float32) * factor
+    vis = jnp.zeros(block_pos.shape[:-1], dtype=bool)
+    if enlarged:
+        x_lo, x_hi = -W / 8.0, W + W / 8.0
+        y_lo, y_hi = -H / 8.0, H + H / 8.0
+    else:
+        x_lo, x_hi, y_lo, y_hi = 0.0, float(W), 0.0, float(H)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                corner = base + jnp.array([dx, dy, dz], dtype=jnp.float32) * factor
+                pc = jnp.einsum("ij,...j->...i", M_d[:3, :3], corner) + M_d[:3, 3]
+                z = pc[..., 2]
+                ok = z >= 1e-10
+                zs = jnp.where(ok, z, 1.0)
+                u = fx * pc[..., 0] / zs + cx
+                v = fy * pc[..., 1] / zs + cy
+                vis |= ok & (u >= x_lo) & (u < x_hi) & (v >= y_lo) & (v < y_hi)
+    return vis
+
+
+def build_visible_list(
+    vol: HashVolume,
+    visible_type: jnp.ndarray,
+    M_d: jnp.ndarray,
+    proj: jnp.ndarray,
+    img_size: Tuple[int, int],
+    voxel_size: float,
+    params: VoxelBlockHashParams,
+    use_enlarged: bool = False,
+) -> RenderStateVH:
+    """Re-check carried-over entries and compact the visible list
+    (reference: buildVisibleList_device — type-3 entries get a projection
+    re-check; prefix-sum compaction → `jnp.nonzero(size=·)`)."""
+    recheck = visible_type == VT_VISIBLE_PREVIOUS
+    vis = check_block_visibility(
+        vol.entry_pos, M_d, proj, img_size, voxel_size, params.block_size, enlarged=use_enlarged
+    )
+    visible_type = jnp.where(recheck & ~vis, VT_NOT_VISIBLE, visible_type)
+
+    mask = visible_type > 0
+    ids = jnp.nonzero(mask, size=params.max_visible_blocks, fill_value=-1)[0].astype(jnp.int32)
+    n = jnp.sum(mask).astype(jnp.int32)
+    return RenderStateVH(visible_type=visible_type, visible_ids=ids, n_visible=n)
+
+
+def set_previous_visible(render_state: RenderStateVH) -> jnp.ndarray:
+    """Start-of-frame: demote last frame's visible entries to type 3
+    (reference: setToType3 kernel)."""
+    ids = render_state.visible_ids
+    E = render_state.visible_type.shape[0]
+    vt = jnp.zeros_like(render_state.visible_type)
+    idx = jnp.where(ids >= 0, ids, E)
+    return vt.at[idx].set(VT_VISIBLE_PREVIOUS, mode="drop")

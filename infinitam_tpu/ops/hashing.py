@@ -1,0 +1,124 @@
+"""Spatial-hash primitives for the voxel-block-hash world model.
+
+Reference parity: DeviceAgnostic/ITMRepresentationAccess.h:8-20 (hashIndex,
+pointToVoxelBlockPos) and the allocation-planning ray march of
+DeviceAgnostic/ITMSceneReconstructionEngine.h:141-241
+(buildHashAllocAndVisibleTypePP).
+
+All functions are vectorized over arbitrary leading dims and jit-safe.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+# reference hash constants (ITMRepresentationAccess.h:9).
+# NOTE: numpy scalars, NOT jnp arrays — module-level jnp constants created at
+# import time poison later XLA compiles in this environment (first jit after
+# tracing one jumped from <1 s to minutes).
+_P1 = np.uint32(73856093)
+_P2 = np.uint32(19349669)
+_P3 = np.uint32(83492791)
+
+
+def hash_index(block_pos: jnp.ndarray, mask: int) -> jnp.ndarray:
+    """((73856093·x) ^ (19349669·y) ^ (83492791·z)) & mask.  block_pos:
+    [..., 3] int32 → [...] int32 in [0, mask]."""
+    x = block_pos[..., 0].astype(jnp.uint32)
+    y = block_pos[..., 1].astype(jnp.uint32)
+    z = block_pos[..., 2].astype(jnp.uint32)
+    h = (x * _P1) ^ (y * _P2) ^ (z * _P3)
+    return (h & np.uint32(mask)).astype(jnp.int32)
+
+
+def point_to_block(point: jnp.ndarray, block_size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Global voxel coords → (block coords, linear in-block index).
+
+    Reference: pointToVoxelBlockPos — floor division toward −∞ for negatives.
+    point: [..., 3] int32.
+    """
+    block = jnp.floor_divide(point, block_size)
+    local = point - block * block_size
+    linear = (
+        local[..., 0]
+        + local[..., 1] * block_size
+        + local[..., 2] * block_size * block_size
+    )
+    return block, linear
+
+
+def blocks_on_ray_segment(
+    depth: jnp.ndarray,  # [H, W] metric depth, −1 invalid
+    proj: jnp.ndarray,  # (fx, fy, cx, cy)
+    inv_M: jnp.ndarray,  # [4,4] camera→world
+    mu: float,
+    voxel_size: float,
+    block_size: int,
+    max_steps: int,
+    view_frustum_min: float,
+    view_frustum_max: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Candidate block coords touched by each pixel's ±mu ray-band segment.
+
+    Reference: buildHashAllocAndVisibleTypePP — offsets the camera-frame
+    surface point by ±mu ALONG THE RAY (scale 1 ∓ mu/|p|), converts both ends
+    to block units, then marches in half-block steps (noSteps = ceil(2·len),
+    endpoints inclusive). We emit a FIXED number of steps per pixel
+    (max_steps) with a validity mask — static shapes for XLA.
+
+    Returns (blocks [H, W, max_steps, 3] int32, valid [H, W, max_steps] bool).
+    """
+    H, W = depth.shape
+    fx, fy, cx, cy = proj[0], proj[1], proj[2], proj[3]
+    one_over_block = 1.0 / (voxel_size * block_size)
+
+    # reference gate: skip if d−mu < frustum_min or d+mu > frustum_max
+    valid_px = (depth > 0.0) & (depth - mu >= view_frustum_min) & (depth + mu <= view_frustum_max)
+    d = jnp.where(valid_px, depth, 1.0)
+
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, axis=0)
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, axis=1)
+    dir_cam = jnp.stack([(xs - cx) / fx, (ys - cy) / fy, jnp.ones_like(xs)], axis=-1)
+    pt_cam = dir_cam * d[..., None]
+    norm = jnp.linalg.norm(pt_cam, axis=-1)
+
+    pt_s_cam = pt_cam * (1.0 - mu / norm)[..., None]
+    pt_e_cam = pt_cam * (1.0 + mu / norm)[..., None]
+
+    def to_blocks(pc):
+        pw = jnp.einsum("ij,hwj->hwi", inv_M[:3, :3], pc) + inv_M[:3, 3]
+        return pw * one_over_block
+
+    bs = to_blocks(pt_s_cam)
+    be = to_blocks(pt_e_cam)
+    seg = be - bs
+
+    # Exact 3-D DDA over the segment: enumerate EVERY block the band crosses.
+    # The reference point-samples at half-block steps
+    # (ITMSceneReconstructionEngine.h:185-241, noSteps = ceil(2·len)), which
+    # misses corner-crossing blocks and leaves first-frame pinholes; DDA at
+    # the same static step budget is complete.
+    safe_seg = jnp.where(jnp.abs(seg) < 1e-9, 1e-9, seg)
+    blk = jnp.floor(bs).astype(jnp.int32)  # [H, W, 3]
+    t = jnp.zeros_like(depth)
+    blocks_list = []
+    valid_list = []
+    for _ in range(max_steps):
+        blocks_list.append(blk)
+        valid_list.append(valid_px & (t <= 1.0))
+        # param t of the next boundary crossing per axis
+        nxt = blk + (seg > 0).astype(jnp.int32)  # boundary coords
+        t_axis = (nxt.astype(jnp.float32) - bs) / safe_seg
+        t_axis = jnp.where(jnp.abs(seg) < 1e-9, 2.0, t_axis)
+        t_axis = jnp.where(t_axis <= t[..., None] + 1e-7, 2.0, t_axis)  # crossed already
+        t_next = jnp.min(t_axis, axis=-1)
+        step_axis = t_axis <= t_next[..., None] + 1e-9
+        blk = blk + jnp.where(step_axis, jnp.sign(seg).astype(jnp.int32), 0)
+        t = t_next
+    blocks = jnp.stack(blocks_list, axis=2)  # [H, W, max_steps, 3]
+    valid = jnp.stack(valid_list, axis=2)
+    return blocks, valid

@@ -95,9 +95,19 @@ def generic_raycast(
         sdf = jnp.where(in_band, sdf_i, sdf_u)
 
         hit = found & (sdf <= 0.0)
-        step = jnp.where(
-            found, jnp.maximum(sdf * step_scale, 1.0), float(block_size)
-        )
+        # Through unallocated space, step to the EXIT of the current block
+        # (DDA) instead of the reference's blind 8-voxel jump
+        # (ITMVisualisationEngine.h:131 `stepLength = SDF_BLOCK_SIZE`), which
+        # can clear the whole ±mu shell and lose the ray — a known InfiniTAM
+        # hole artifact. The DDA clamp never skips an allocated block and
+        # costs the same number of steps.
+        blk = jnp.floor(s.pt / block_size)
+        nxt_bound = (blk + (ray_dir > 0)) * block_size
+        safe_dir = jnp.where(jnp.abs(ray_dir) < 1e-9, 1e-9, ray_dir)
+        t_axis = (nxt_bound - s.pt) / safe_dir
+        t_exit = jnp.min(jnp.where(jnp.abs(ray_dir) < 1e-9, 1e9, t_axis), axis=-1)
+        empty_step = jnp.clip(t_exit + 0.01, 0.5, float(block_size))
+        step = jnp.where(found, jnp.maximum(sdf * step_scale, 1.0), empty_step)
 
         advance = s.active & ~hit
         new_pt = jnp.where(advance[..., None], s.pt + step[..., None] * ray_dir, s.pt)

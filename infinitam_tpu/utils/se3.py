@@ -71,7 +71,6 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """Rotation matrix → axis-angle vector. (...,3,3) → (...,3)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
     # antisymmetric part
     v = jnp.stack(
         [
@@ -81,7 +80,10 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    sin_theta = jnp.sin(theta)
+    # θ via atan2(|v|/2, (tr−1)/2): much better float32 conditioning than
+    # arccos across the whole range
+    sin_theta = 0.5 * jnp.linalg.norm(v, axis=-1)
+    theta = jnp.arctan2(sin_theta, cos_theta)
     small = theta < 1e-5
     # v = 2 sinθ * axis;  ω = θ * axis
     scale = jnp.where(

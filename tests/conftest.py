@@ -8,8 +8,10 @@ MUST run before jax is imported anywhere.
 
 import os
 
-# Hard override: the ambient environment may pin JAX_PLATFORMS to the real
-# TPU tunnel (axon); tests must run on the virtual CPU mesh.
+# NOTE: setting JAX_PLATFORMS in os.environ is NOT enough here — the axon
+# sitecustomize imports jax at interpreter start and later calls
+# jax.config.update("jax_platforms", "axon,cpu"), overriding the env var.
+# The config.update below (after import) is the authoritative override.
 os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
@@ -19,6 +21,7 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: recompiling the pipeline dominates test time
 # otherwise.

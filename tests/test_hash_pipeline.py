@@ -1,0 +1,127 @@
+"""End-to-end tests on the voxel-block-hash pipeline (reference default
+configuration), against the synthetic analytic-SDF oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from infinitam_tpu.calib import default_calib
+from infinitam_tpu.config import (
+    SceneParams,
+    Settings,
+    TrackingParams,
+    VoxelBlockHashParams,
+)
+from infinitam_tpu.engine import hash_pipeline as hp
+from infinitam_tpu.engine import hash_volume as hv
+from infinitam_tpu.engine.view_builder import View
+from infinitam_tpu.io import synth
+from infinitam_tpu.utils import se3
+
+IMG = (60, 80)
+
+
+def hash_settings() -> Settings:
+    return Settings(
+        scene=SceneParams(voxel_size=0.025, mu=0.1, view_frustum_min=0.3, view_frustum_max=3.0),
+        hashing=VoxelBlockHashParams(
+            n_buckets=0x4000,
+            n_excess=0x400,
+            n_blocks=0x1800,
+            max_visible_blocks=0x1000,
+        ),
+        tracking=TrackingParams(n_levels=3, min_valid_points=50),
+    )
+
+
+SETTINGS = hash_settings()
+CALIB = default_calib(IMG[1], IMG[0])
+PROJ = jnp.asarray(CALIB.intrinsics_d.vector)
+
+
+@pytest.fixture(scope="module")
+def fused():
+    """Hash volume with frame 0 fused at identity."""
+    depth = synth.render_depth(jnp.eye(4), PROJ, IMG)
+    vol, rs, state = hp.create_engine_state(SETTINGS, IMG)
+    vol, rs, state, diag = hp.process_frame_hash(
+        vol, rs, state, View(depth=depth), PROJ, SETTINGS
+    )
+    return depth, vol, rs, state, diag
+
+
+def test_allocation_happens(fused):
+    depth, vol, rs, state, diag = fused
+    n_alloc = SETTINGS.hashing.n_blocks - 1 - int(vol.last_free_block)
+    assert n_alloc > 50, f"only {n_alloc} blocks allocated"
+    assert int(rs.n_visible) >= n_alloc
+    # every visible id refers to an allocated entry or a planned one
+    ids = np.asarray(rs.visible_ids)
+    n = int(rs.n_visible)
+    assert (ids[:n] >= 0).all()
+
+
+def test_raycast_matches_depth(fused):
+    depth, vol, rs, state, diag = fused
+    res = hp.raycast_hash(vol, rs, jnp.eye(4), PROJ, IMG, SETTINGS)
+    pts = res.points
+    found = np.asarray(pts[..., 3]) > 0
+    gt_valid = np.asarray(depth) > 0
+    assert found[gt_valid].mean() > 0.85
+    z_ray = np.asarray(pts[..., 2]) * SETTINGS.scene.voxel_size
+    err = np.abs(z_ray - np.asarray(depth))[found & gt_valid]
+    assert np.median(err) < SETTINGS.scene.voxel_size
+
+
+def test_expected_depth_ranges_bound_surface(fused):
+    depth, vol, rs, state, diag = fused
+    zmin, zmax = hp.expected_depth_ranges(vol, rs, jnp.eye(4), PROJ, IMG, SETTINGS)
+    d = np.asarray(depth)
+    zmin = np.asarray(zmin)
+    zmax = np.asarray(zmax)
+    m = d > 0
+    # the true surface must lie inside the per-pixel range for almost all pixels
+    inside = (d >= zmin - 1e-3) & (d <= zmax + 1e-3)
+    assert inside[m].mean() > 0.95
+    # and the range must be much tighter than the full frustum on average
+    full = SETTINGS.scene.view_frustum_max - SETTINGS.scene.view_frustum_min
+    assert (zmax - zmin)[m].mean() < 0.7 * full
+
+
+def test_e2e_hash_sequence():
+    src = synth.SyntheticSource(CALIB, n_frames=8, img_size=IMG)
+    vol, rs, state = hp.create_engine_state(SETTINGS, IMG)
+    errs = []
+    for _ in range(src.n_frames):
+        depth, _rgb, gt = src.get_images()
+        vol, rs, state, diag = hp.process_frame_hash(
+            vol, rs, state, View(depth=depth), PROJ, SETTINGS
+        )
+        err = se3.se3_log(state.pose @ se3.invert(gt))
+        errs.append(float(jnp.linalg.norm(err[:3])))
+    assert errs[-1] < 0.03, f"trajectory errors: {errs}"
+    assert max(errs) < 0.04, f"trajectory errors: {errs}"
+
+
+def test_dense_and_hash_agree():
+    """The hash pipeline must track the same trajectory as the dense pipeline
+    (the analogue of the reference's CPU-vs-CUDA oracle, SURVEY.md §4)."""
+    from infinitam_tpu.config import PlainVoxelArrayParams
+    from infinitam_tpu.engine import dense_pipeline as dp
+
+    dense_settings = Settings(
+        scene=SETTINGS.scene,
+        plain=PlainVoxelArrayParams(size=(128, 128, 100), offset=(-64, -64, 0)),
+        tracking=SETTINGS.tracking,
+    )
+    src = synth.SyntheticSource(CALIB, n_frames=5, img_size=IMG)
+    vol_h, rs, st_h = hp.create_engine_state(SETTINGS, IMG)
+    vol_d, st_d = dp.create_engine_state(dense_settings, IMG)
+    for _ in range(src.n_frames):
+        depth, _rgb, gt = src.get_images()
+        view = View(depth=depth)
+        vol_h, rs, st_h, _ = hp.process_frame_hash(vol_h, rs, st_h, view, PROJ, SETTINGS)
+        vol_d, st_d, _ = dp.process_frame_dense(vol_d, st_d, view, PROJ, dense_settings)
+    delta = se3.se3_log(st_h.pose @ se3.invert(st_d.pose))
+    assert float(jnp.linalg.norm(delta[:3])) < 0.005

@@ -1,0 +1,144 @@
+"""Unit tests for the voxel-block-hash layer: hash math, probe/alloc protocol
+(reference: ITMRepresentationAccess.h hashIndex/pointToVoxelBlockPos,
+ITMSceneReconstructionEngine_CUDA.cu allocation kernels)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infinitam_tpu.config import VoxelBlockHashParams, tiny_test_settings
+from infinitam_tpu.engine import hash_volume as hv
+from infinitam_tpu.ops.hashing import hash_index, point_to_block
+
+HP = tiny_test_settings().hashing
+
+
+def ref_hash(x, y, z, mask):
+    """Literal re-expression of the reference hash for golden checks."""
+    def u32(v):
+        return np.uint32(np.int64(v) & 0xFFFFFFFF)
+
+    with np.errstate(over="ignore"):
+        h = ((u32(x) * u32(73856093)) ^ (u32(y) * u32(19349669))
+             ^ (u32(z) * u32(83492791))) & u32(mask)
+    return int(h)
+
+
+def test_hash_index_golden():
+    mask = 0xFFFFF
+    for p in [(0, 0, 0), (1, 2, 3), (-1, -2, -3), (100, -50, 7)]:
+        got = int(hash_index(jnp.array(p, dtype=jnp.int32), mask))
+        assert got == ref_hash(*p, mask), p
+
+
+def test_point_to_block_negative_coords():
+    # reference pointToVoxelBlockPos uses floor division toward −∞
+    pts = jnp.array([[0, 0, 0], [7, 7, 7], [8, 0, 0], [-1, -8, -9]], dtype=jnp.int32)
+    block, linear = point_to_block(pts, 8)
+    np.testing.assert_array_equal(block, [[0, 0, 0], [0, 0, 0], [1, 0, 0], [-1, -1, -2]])
+    # local(-1,-8,-9) = (-1-(-8), -8-(-8), -9-(-16)) = (7, 0, 7)
+    np.testing.assert_array_equal(linear, [0, 7 + 7 * 8 + 7 * 64, 0, 7 + 0 + 7 * 64])
+
+
+@jax.jit
+def _probe_jit(vol, pts):
+    return hv.probe(vol, pts, HP)
+
+
+@jax.jit
+def _alloc_jit(vol, cand, valid):
+    visible_type = jnp.zeros((HP.n_entries,), dtype=jnp.int32)
+    plan = hv.plan_allocations(vol, visible_type, cand, valid, HP)
+    return hv.execute_allocations(vol, plan, HP)
+
+
+def _alloc_blocks(vol, blocks):
+    """Plan+execute allocation of the given block coords (padded to a fixed
+    candidate count so every call shares one compiled program)."""
+    cand = np.zeros((8, 3), dtype=np.int32)
+    blocks = np.asarray(blocks, dtype=np.int32)
+    cand[: len(blocks)] = blocks
+    valid = np.zeros((8,), dtype=bool)
+    valid[: len(blocks)] = True
+    return _alloc_jit(vol, jnp.asarray(cand), jnp.asarray(valid))
+
+
+def test_alloc_and_probe_roundtrip():
+    vol = hv.create_hash(HP)
+    blocks = [[0, 0, 0], [1, 2, 3], [-4, 5, -6], [10, 10, 10]]
+    vol, vt = _alloc_blocks(vol, blocks)
+    assert int(vol.last_free_block) == HP.n_blocks - 1 - 4
+
+    pr = _probe_jit(vol, jnp.asarray(blocks, dtype=jnp.int32))
+    assert bool(jnp.all(pr.found))
+    # all four got distinct blocks
+    assert len(set(np.asarray(pr.entry_ptr).tolist())) == 4
+
+    # unknown block is not found
+    pr2 = _probe_jit(vol, jnp.array([9, 9, 9], dtype=jnp.int32))
+    assert not bool(pr2.found)
+
+
+def test_alloc_collision_goes_to_excess():
+    """Two blocks hashing to the same bucket: second lands in the excess list
+    on the NEXT frame (same-frame dedup defers one — reference's benign
+    collision semantics)."""
+    mask = HP.hash_mask
+    # precomputed colliding pair for mask 0xFFF (verified via ref_hash)
+    base = (3, 1, 2)
+    other = (0, 94, 6)
+    assert ref_hash(*base, mask) == ref_hash(*other, mask)
+
+    vol = hv.create_hash(HP)
+    # frame 1: both requested, one wins
+    vol, _ = _alloc_blocks(vol, [list(base), list(other)])
+    pr = _probe_jit(vol, jnp.array([base, other], dtype=jnp.int32))
+    assert int(jnp.sum(pr.found)) == 1
+
+    # frame 2: the loser retries and lands in the excess chain
+    vol, _ = _alloc_blocks(vol, [list(base), list(other)])
+    pr = _probe_jit(vol, jnp.array([base, other], dtype=jnp.int32))
+    assert bool(jnp.all(pr.found))
+    idxs = np.asarray(pr.entry_idx)
+    assert (idxs >= HP.n_buckets).sum() == 1  # one lives in the excess part
+    assert int(vol.last_free_excess) == HP.n_excess - 2
+
+
+def test_alloc_idempotent():
+    """Re-requesting existing blocks allocates nothing (property analogue of
+    the reference's visible-only marking)."""
+    vol = hv.create_hash(HP)
+    vol, _ = _alloc_blocks(vol, [[1, 1, 1], [2, 2, 2]])
+    free_before = int(vol.last_free_block)
+    vol, _ = _alloc_blocks(vol, [[1, 1, 1], [2, 2, 2]])
+    assert int(vol.last_free_block) == free_before
+
+
+def test_hash_reader_roundtrip():
+    vol = hv.create_hash(HP)
+    vol, _ = _alloc_blocks(vol, [[0, 0, 0]])
+    pr = _probe_jit(vol, jnp.array([0, 0, 0], dtype=jnp.int32))
+    blk = int(pr.entry_ptr)
+    # write a voxel: global (3, 4, 5) in block (0,0,0) → linear 3+4·8+5·64
+    vol = vol._replace(voxel_sdf=vol.voxel_sdf.at[blk, 3 + 32 + 320].set(-0.5))
+    read = hv.make_hash_reader(vol, HP)
+    sdf, found = read(jnp.array([3, 4, 5], dtype=jnp.int32))
+    assert bool(found) and float(sdf) == -0.5
+    # voxel in an unallocated block reads as empty space
+    sdf, found = read(jnp.array([100, 100, 100], dtype=jnp.int32))
+    assert not bool(found) and float(sdf) == 1.0
+
+
+def test_visible_list_compaction():
+    vol = hv.create_hash(HP)
+    vol, vt = _alloc_blocks(vol, [[0, 0, 1], [0, 0, 2], [5, 5, 5]])
+    proj = jnp.array([60.0, 60.0, 40.0, 30.0])
+    # camera at origin looking +z with ~60×80 image: blocks at z≈1-2 blocks
+    # (0.16 m each) are in front; (5,5,5) projects far off-image
+    rs = hv.build_visible_list(
+        vol, vt, jnp.eye(4), proj, (60, 80), 0.02, HP
+    )
+    ids = np.asarray(rs.visible_ids)
+    n = int(rs.n_visible)
+    assert n == int((np.asarray(rs.visible_type) > 0).sum())
+    assert (ids[:n] >= 0).all() and (ids[n:] == -1).all()

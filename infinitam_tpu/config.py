@@ -82,6 +82,18 @@ class PlainVoxelArrayParams:
 
 
 @dataclasses.dataclass(frozen=True)
+class BlockGridParams:
+    """TPU-native raycast acceleration: a dense block→VBA-pointer grid cached
+    over the working volume, so hot-path voxel reads cost one int gather
+    instead of a hash-chain walk. Purely an accelerator — the hash table
+    stays canonical (unbounded world, swapping); blocks outside the grid fall
+    back to not-found, identical to unallocated space."""
+
+    dims: Tuple[int, int, int] = (64, 64, 64)  # blocks (z, y, x order irrelevant; stored xyz)
+    origin: Tuple[int, int, int] = (-32, -32, 0)  # block coords of grid corner
+
+
+@dataclasses.dataclass(frozen=True)
 class TrackingParams:
     """Hierarchical tracker regime (reference: ITMLibSettings.cpp:30-55,
     ITMDepthTracker.cpp:19-28)."""
@@ -118,6 +130,8 @@ class Settings:
     scene: SceneParams = SceneParams()
     hashing: VoxelBlockHashParams = VoxelBlockHashParams()
     plain: PlainVoxelArrayParams = PlainVoxelArrayParams()
+    block_grid: BlockGridParams = BlockGridParams()
+    use_block_grid: bool = True  # raycast through the dense block-index cache
     tracking: TrackingParams = TrackingParams()
     tracker_type: TrackerType = TrackerType.ICP
     swapping_mode: SwappingMode = SwappingMode.DISABLED

@@ -52,9 +52,8 @@ def integrate_frame_dense(
     M_rgb = None
     rgb = None
     if settings.use_color and view.rgb is not None:
-        # M_rgb = trafo_rgb_to_depth.inv * M_d (reference ITMDenseMapper /
-        # reconstruction engine uses calib_rgb extrinsic composed with pose)
-        M_rgb = rgb_to_depth @ pose if rgb_to_depth is not None else pose
+        # reference: M_rgb = trafo_rgb_to_depth.calib_inv * M_d
+        M_rgb = se3.invert(rgb_to_depth) @ pose if rgb_to_depth is not None else pose
         rgb = view.rgb
     sdf, w, clr, wc = tsdf.integrate_dense(
         vol.sdf,

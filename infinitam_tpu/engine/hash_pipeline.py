@@ -137,7 +137,8 @@ def integrate_into_scene(
     rgb = None
     old_clr = old_wc = None
     if with_color:
-        M_rgb = rgb_to_depth @ pose if rgb_to_depth is not None else pose
+        # reference: M_rgb = trafo_rgb_to_depth.calib_inv * M_d
+        M_rgb = se3.invert(rgb_to_depth) @ pose if rgb_to_depth is not None else pose
         rgb = view.rgb
         old_clr = vol.clr[ptr_c]
         old_wc = vol.w_color[ptr_c]
@@ -274,7 +275,11 @@ def raycast_hash(
 ) -> rc.RaycastResult:
     sp = settings.scene
     zmin, zmax = expected_depth_ranges(vol, render_state, pose, proj, img_size, settings)
-    read = hv.make_hash_reader(vol, settings.hashing)
+    if settings.use_block_grid:
+        grid = hv.build_block_grid(vol, settings.block_grid, settings.hashing)
+        read = hv.make_grid_reader(vol, grid, settings.block_grid, settings.hashing)
+    else:
+        read = hv.make_hash_reader(vol, settings.hashing)
     return rc.generic_raycast(
         read,
         se3.invert(pose),
@@ -300,6 +305,33 @@ def prepare_tracking_maps(
     return rc.make_icp_maps(res, settings.scene.voxel_size, se3.invert(pose))
 
 
+def create_point_cloud(
+    vol: HashVolume,
+    render_state: RenderStateVH,
+    pose: jnp.ndarray,  # world→depth-camera
+    proj_rgb: jnp.ndarray,
+    depth_to_rgb: jnp.ndarray,
+    img_size: Tuple[int, int],
+    settings: Settings,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Point cloud with colours for the photometric tracker, raycast in the
+    RGB frame (reference: ITMTrackingController::Prepare color branch +
+    ITMVisualisationEngine::CreatePointCloud). Returns (locations, colours)
+    as [H, W, 4] maps with w-flag validity."""
+    from infinitam_tpu.ops.voxel_access import read_color_interpolated
+
+    pose_rgb = depth_to_rgb @ pose
+    res = raycast_hash(vol, render_state, pose_rgb, proj_rgb, img_size, settings)
+    found = res.points[..., 3] > 0
+    pts_m = res.points[..., :3] * settings.scene.voxel_size
+    w = jnp.where(found, 1.0, -1.0)[..., None]
+    locations = jnp.concatenate([jnp.where(found[..., None], pts_m, 0.0), w], axis=-1)
+    read_color = hv.make_hash_color_reader(vol, settings.hashing)
+    clr = read_color_interpolated(read_color, res.points[..., :3])
+    colours = jnp.concatenate([jnp.where(found[..., None], clr, 0.0), w], axis=-1)
+    return locations, colours
+
+
 @partial(jax.jit, static_argnames=("settings", "fusion_active"))
 def process_frame_hash(
     vol: HashVolume,
@@ -309,19 +341,59 @@ def process_frame_hash(
     proj: jnp.ndarray,
     settings: Settings,
     fusion_active: bool = True,
+    proj_rgb: jnp.ndarray | None = None,
+    rgb_to_depth: jnp.ndarray | None = None,
+    external_pose: jnp.ndarray | None = None,
 ) -> Tuple[HashVolume, RenderStateVH, TrackingState, FrameDiagnostics]:
-    """One full frame on the hash volume: track → allocate+fuse → raycast."""
-    img_size = view.depth.shape
+    """One full frame on the hash volume: track → allocate+fuse → raycast.
 
-    tr: TrackResult = track_depth(
-        state.pose,
-        view.depth,
-        proj,
-        state.points_map,
-        state.normals_map,
-        state.pose_point_cloud,
-        settings.tracking,
-    )
+    Tracker selection follows settings.tracker_type (reference:
+    ITMTrackerFactory): ICP (depth), WICP (noise-weighted), COLOR
+    (photometric, maps raycast in the rgb frame), EXTERNAL (pose injected).
+    """
+    from infinitam_tpu.config import TrackerType
+    from infinitam_tpu.engine.trackers import track_color, track_external
+
+    img_size = view.depth.shape
+    tt = settings.tracker_type
+
+    if tt == TrackerType.EXTERNAL:
+        tr = track_external(state.pose, external_pose if external_pose is not None else state.pose)
+    elif tt == TrackerType.COLOR:
+        pr = proj_rgb if proj_rgb is not None else proj
+        r2d = rgb_to_depth if rgb_to_depth is not None else jnp.eye(4)
+        tr = track_color(
+            state.pose,
+            view.rgb,
+            pr,
+            state.points_map,  # locations
+            state.normals_map,  # colours (same buffer pair as the reference)
+            se3.invert(r2d),
+            r2d,
+            settings.tracking,
+            skip_points=settings.skip_points,
+        )
+    elif tt == TrackerType.WICP:
+        tr = track_depth(
+            state.pose,
+            view.depth,
+            proj,
+            state.points_map,
+            state.normals_map,
+            state.pose_point_cloud,
+            settings.tracking,
+            weights_map=view.depth_uncertainty,
+        )
+    else:
+        tr = track_depth(
+            state.pose,
+            view.depth,
+            proj,
+            state.points_map,
+            state.normals_map,
+            state.pose_point_cloud,
+            settings.tracking,
+        )
     have_maps = state.age >= 0
     pose = jnp.where(have_maps, tr.pose, state.pose)
 
@@ -330,11 +402,25 @@ def process_frame_hash(
         only_update_visible=not fusion_active,
     )
     if fusion_active:
-        vol = integrate_into_scene(vol, render_state, view, pose, proj, settings)
+        vol = integrate_into_scene(
+            vol, render_state, view, pose, proj, settings,
+            proj_rgb=proj_rgb, rgb_to_depth=rgb_to_depth,
+        )
 
-    points_map, normals_map = prepare_tracking_maps(
-        vol, render_state, pose, proj, img_size, settings
-    )
+    if tt == TrackerType.COLOR:
+        points_map, normals_map = create_point_cloud(
+            vol,
+            render_state,
+            pose,
+            proj_rgb if proj_rgb is not None else proj,
+            se3.invert(rgb_to_depth) if rgb_to_depth is not None else jnp.eye(4),
+            img_size,
+            settings,
+        )
+    else:
+        points_map, normals_map = prepare_tracking_maps(
+            vol, render_state, pose, proj, img_size, settings
+        )
 
     new_state = TrackingState(
         pose=pose,

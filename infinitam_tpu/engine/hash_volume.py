@@ -276,6 +276,49 @@ def execute_allocations(
     return new_vol, visible_type
 
 
+def build_block_grid(vol: HashVolume, grid_params, params: VoxelBlockHashParams) -> jnp.ndarray:
+    """Dense block→VBA-pointer index grid over the working volume (TPU-native
+    raycast accelerator; see config.BlockGridParams). [Gx, Gy, Gz] int32 with
+    −1 = unallocated; built by one scatter over the hash entries."""
+    gx, gy, gz = grid_params.dims
+    ox, oy, oz = grid_params.origin
+    p = vol.entry_pos - jnp.array([ox, oy, oz], dtype=jnp.int32)
+    inb = (
+        (vol.entry_ptr >= 0)
+        & (p[:, 0] >= 0) & (p[:, 0] < gx)
+        & (p[:, 1] >= 0) & (p[:, 1] < gy)
+        & (p[:, 2] >= 0) & (p[:, 2] < gz)
+    )
+    flat = jnp.where(inb, p[:, 0] * gy * gz + p[:, 1] * gz + p[:, 2], gx * gy * gz)
+    grid = jnp.full((gx * gy * gz,), -1, dtype=jnp.int32)
+    grid = grid.at[flat].set(jnp.where(inb, vol.entry_ptr, -1), mode="drop")
+    return grid.reshape(gx, gy, gz)
+
+
+def make_grid_reader(vol: HashVolume, grid: jnp.ndarray, grid_params, params: VoxelBlockHashParams):
+    """`(int voxel pts) -> (sdf, found)` via the dense block grid: one int
+    gather + one voxel gather per tap (vs a 4-link hash-chain walk)."""
+    S = params.block_size
+    gx, gy, gz = grid_params.dims
+    origin = jnp.array(grid_params.origin, dtype=jnp.int32)
+
+    def read(pts_int: jnp.ndarray):
+        block, linear = point_to_block(pts_int, S)
+        g = block - origin
+        inb = (
+            (g[..., 0] >= 0) & (g[..., 0] < gx)
+            & (g[..., 1] >= 0) & (g[..., 1] < gy)
+            & (g[..., 2] >= 0) & (g[..., 2] < gz)
+        )
+        gc = jnp.clip(g, 0, jnp.array([gx - 1, gy - 1, gz - 1], dtype=jnp.int32))
+        ptr = grid[gc[..., 0], gc[..., 1], gc[..., 2]]
+        found = inb & (ptr >= 0)
+        sdf = vol.voxel_sdf[jnp.where(found, ptr, 0), linear]
+        return jnp.where(found, sdf, 1.0), found
+
+    return read
+
+
 def check_block_visibility(
     block_pos: jnp.ndarray,  # [..., 3]
     M_d: jnp.ndarray,

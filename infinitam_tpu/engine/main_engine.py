@@ -1,0 +1,255 @@
+"""MainEngine façade — the reference's top-level API, TPU-native inside.
+
+Reference parity: ITMLib/Engine/ITMMainEngine.{h,cpp} — owns scene, tracking
+state and render state; ProcessFrame = UpdateView → Track → Fuse → Prepare
+(ITMMainEngine.cpp:111-127); GetImage renders depth/rgb/raycast/freeview
+views (:134-192); UpdateMesh/SaveSceneToMesh; fusion on/off switches.
+
+With swapping enabled the frame splits into two jitted programs around the
+host-tier exchange (reference: ITMDenseMapper.cpp:51-65 runs swap-in/out
+between integration and the raycast prep)."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infinitam_tpu.calib import RGBDCalib
+from infinitam_tpu.config import Settings, SwappingMode, TrackerType
+from infinitam_tpu.engine import hash_pipeline as hp
+from infinitam_tpu.engine import hash_volume as hv
+from infinitam_tpu.engine import swapping as sw
+from infinitam_tpu.engine.tracking_state import create_tracking_state
+from infinitam_tpu.engine.view_builder import build_view, build_view_from_metric_depth
+from infinitam_tpu.ops import raycast as rc
+from infinitam_tpu.utils import se3
+
+
+@partial(jax.jit, static_argnames=("settings", "fusion_active"))
+def _step_track_fuse_swap(
+    vol,
+    render_state,
+    state,
+    swap_states,
+    view,
+    proj,
+    settings: Settings,
+    fusion_active: bool,
+    proj_rgb,
+    rgb_to_depth,
+    external_pose,
+):
+    """Track + allocate (+ swapped-block realloc + swap marking) + integrate —
+    the device part of the frame before the host swap exchange."""
+    from infinitam_tpu.engine.trackers import track_depth, track_external
+
+    tt = settings.tracker_type
+    if tt == TrackerType.EXTERNAL:
+        from infinitam_tpu.engine.trackers import track_external as _te
+
+        tr = _te(state.pose, external_pose)
+    else:
+        tr = track_depth(
+            state.pose,
+            view.depth,
+            proj,
+            state.points_map,
+            state.normals_map,
+            state.pose_point_cloud,
+            settings.tracking,
+            weights_map=view.depth_uncertainty if tt == TrackerType.WICP else None,
+        )
+    have_maps = state.age >= 0
+    pose = jnp.where(have_maps, tr.pose, state.pose)
+
+    vol, render_state = hp.allocate_scene_from_depth(
+        vol, render_state, view.depth, pose, proj, settings,
+        only_update_visible=not fusion_active,
+    )
+    vol = sw.reallocate_swapped_out(vol, render_state.visible_type, settings)
+    swap_states = sw.mark_visible_for_swap(swap_states, render_state.visible_type)
+    if fusion_active:
+        vol = hp.integrate_into_scene(
+            vol, render_state, view, pose, proj, settings,
+            proj_rgb=proj_rgb, rgb_to_depth=rgb_to_depth,
+        )
+    return vol, render_state, swap_states, pose, tr
+
+
+class MainEngine:
+    """Stateful façade over the functional pipeline (host-side bookkeeping,
+    device-side pytrees)."""
+
+    def __init__(self, settings: Settings, calib: RGBDCalib, img_size: Tuple[int, int]):
+        self.settings = settings
+        self.calib = calib
+        self.img_size = img_size
+        self.proj = jnp.asarray(calib.intrinsics_d.vector)
+        self.proj_rgb = jnp.asarray(calib.intrinsics_rgb.vector)
+        self.rgb_to_depth = jnp.asarray(calib.rgb_to_depth)
+
+        self.vol, self.render_state, self.tracking_state = hp.create_engine_state(
+            settings, img_size
+        )
+        self.swapping = settings.swapping_mode == SwappingMode.ENABLED
+        self.swap_states = sw.create_swap_states(settings) if self.swapping else None
+        self.global_cache = sw.GlobalCache.create(settings) if self.swapping else None
+
+        self.fusion_active = True  # reference: turnOnIntegration/turnOff
+        self.main_processing = True
+        self.frame_no = 0
+
+    # ----- controls (reference: ITMMainEngine.h:95-117) ------------------
+    def turn_on_integration(self):
+        self.fusion_active = True
+
+    def turn_off_integration(self):
+        self.fusion_active = False
+
+    def turn_on_main_processing(self):
+        self.main_processing = True
+
+    def turn_off_main_processing(self):
+        self.main_processing = False
+
+    def reset_scene(self):
+        self.vol, self.render_state, self.tracking_state = hp.create_engine_state(
+            self.settings, self.img_size
+        )
+        if self.swapping:
+            self.swap_states = sw.create_swap_states(self.settings)
+            self.global_cache = sw.GlobalCache.create(self.settings)
+
+    # ----- per frame -----------------------------------------------------
+    def process_frame(
+        self,
+        raw_depth=None,
+        rgb=None,
+        metric_depth=None,
+        imu_rotation=None,
+        external_pose=None,
+    ):
+        """UpdateView → Track → Fuse (→ swap) → Prepare. Returns diagnostics
+        dict (structured per-frame metrics; SURVEY.md §5 observability)."""
+        if not self.main_processing:
+            return {}
+
+        if metric_depth is not None:
+            view = build_view_from_metric_depth(
+                jnp.asarray(metric_depth), self.settings, self.calib,
+                rgb=None if rgb is None else jnp.asarray(rgb),
+            )
+        else:
+            view = build_view(
+                jnp.asarray(raw_depth), self.calib, self.settings,
+                rgb=None if rgb is None else jnp.asarray(rgb),
+            )
+
+        if imu_rotation is not None:
+            from infinitam_tpu.engine.trackers import apply_imu_rotation
+
+            self.tracking_state = self.tracking_state._replace(
+                pose=apply_imu_rotation(self.tracking_state.pose, jnp.asarray(imu_rotation))
+            )
+
+        if self.swapping:
+            (self.vol, self.render_state, self.swap_states, pose, tr) = _step_track_fuse_swap(
+                self.vol,
+                self.render_state,
+                self.tracking_state,
+                self.swap_states,
+                view,
+                self.proj,
+                self.settings,
+                self.fusion_active,
+                self.proj_rgb,
+                self.rgb_to_depth,
+                external_pose if external_pose is not None else self.tracking_state.pose,
+            )
+            self.vol, self.swap_states = sw.swap_in(
+                self.vol, self.swap_states, self.global_cache, self.settings
+            )
+            self.vol, self.swap_states = sw.swap_out(
+                self.vol, self.swap_states, self.render_state, self.global_cache, self.settings
+            )
+            points_map, normals_map = hp.prepare_tracking_maps(
+                self.vol, self.render_state, pose, self.proj, self.img_size, self.settings
+            )
+            self.tracking_state = self.tracking_state._replace(
+                pose=pose,
+                points_map=points_map,
+                normals_map=normals_map,
+                pose_point_cloud=pose,
+                age=jnp.array(0, dtype=jnp.int32),
+                f=tr.f,
+                num_valid=tr.num_valid,
+            )
+            diag = {
+                "f": float(tr.f),
+                "num_valid": int(tr.num_valid),
+                "n_visible": int(self.render_state.n_visible),
+                "n_free_blocks": int(self.vol.last_free_block) + 1,
+            }
+        else:
+            (self.vol, self.render_state, self.tracking_state, d) = hp.process_frame_hash(
+                self.vol,
+                self.render_state,
+                self.tracking_state,
+                view,
+                self.proj,
+                self.settings,
+                fusion_active=self.fusion_active,
+                proj_rgb=self.proj_rgb,
+                rgb_to_depth=self.rgb_to_depth,
+                external_pose=external_pose,
+            )
+            diag = {
+                "f": float(d.f),
+                "num_valid": int(d.num_valid),
+                "n_visible": int(d.n_visible),
+                "n_free_blocks": int(d.n_free_blocks),
+            }
+        self.frame_no += 1
+        return diag
+
+    # ----- outputs (reference: GetImage, UpdateMesh) ---------------------
+    def get_pose(self) -> np.ndarray:
+        return np.asarray(self.tracking_state.pose)
+
+    def set_pose(self, pose) -> None:
+        """External pose injection (reference: RosPoseSourceEngine writes
+        trackingState->pose_d directly)."""
+        self.tracking_state = self.tracking_state._replace(pose=jnp.asarray(pose))
+
+    def get_image(self, which: str = "raycast", pose=None, proj=None) -> np.ndarray:
+        """Render a view (reference GetImage types): 'raycast' (grey shaded
+        from the current pose), 'normals', 'colour', or freeview variants by
+        passing an explicit pose."""
+        pose = self.tracking_state.pose if pose is None else jnp.asarray(pose)
+        proj = self.proj if proj is None else jnp.asarray(proj)
+        res = hp.raycast_hash(
+            self.vol, self.render_state, pose, proj, self.img_size, self.settings
+        )
+        inv = se3.invert(pose)
+        if which == "normals":
+            return np.asarray(rc.render_normals(res, self.settings.scene.voxel_size, inv))
+        if which == "colour":
+            reader = hv.make_hash_color_reader(self.vol, self.settings.hashing)
+            return np.asarray(rc.render_color(res, reader))
+        return np.asarray(rc.render_grey(res, self.settings.scene.voxel_size, inv))
+
+    def update_mesh(self):
+        from infinitam_tpu.engine.meshing_engine import mesh_scene_hash
+
+        return mesh_scene_hash(self.vol, self.settings)
+
+    def save_scene_to_mesh(self, path: str) -> None:
+        mesh = self.update_mesh()
+        if path.lower().endswith(".obj"):
+            mesh.write_obj(path)
+        else:
+            mesh.write_stl(path)

@@ -1,0 +1,252 @@
+"""Host↔HBM voxel-block streaming (swapping) — scenes larger than device
+memory.
+
+Reference parity: ITMLib/Objects/ITMGlobalCache.h:18-129 (host block store +
+3-state machine + bounded transfer buffers) and
+ITMSwappingEngine_CUDA.cu:42-296:
+  swap-in : state==1 entries → compacted needed-list (≤ transfer cap) → host
+            gather → upload → weighted-average merge into the VBA → state=2
+  swap-out: state==2 ∧ allocated ∧ invisible → move+clear blocks → return to
+            free list (ptr→−1) → download → host scatter → state=0
+
+TPU-native shape: the device steps are three jitted fixed-shape programs
+(compaction via nonzero(size=cap), merge/evict as gathers+scatters); the host
+tier is plain numpy arrays with `jax.device_get/put` at the slab boundary —
+the analogue of the reference's pinned-buffer cudaMemcpy path.
+
+swap_states codes (reference ITMHashSwapState): 0 = most recent data on
+host / nowhere, 1 = on host, needs combining with device, 2 = device newest.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infinitam_tpu.config import Settings
+from infinitam_tpu.engine.hash_volume import HashVolume, RenderStateVH
+
+
+@dataclasses.dataclass
+class GlobalCache:
+    """Host-side store of all addressable blocks (reference: ITMGlobalCache).
+    Indexed by hash-entry id like the reference."""
+
+    stored_sdf: np.ndarray  # [E, S³] float32
+    stored_w: np.ndarray  # [E, S³] int32
+    has_stored: np.ndarray  # [E] bool
+
+    @classmethod
+    def create(cls, settings: Settings) -> "GlobalCache":
+        E = settings.hashing.n_entries
+        S3 = settings.hashing.block_volume
+        return cls(
+            stored_sdf=np.ones((E, S3), dtype=np.float32),
+            stored_w=np.zeros((E, S3), dtype=np.int32),
+            has_stored=np.zeros((E,), dtype=bool),
+        )
+
+    def save(self, path: str) -> None:
+        """reference: ITMGlobalCache::SaveToFile."""
+        np.savez_compressed(
+            path, sdf=self.stored_sdf, w=self.stored_w, has=self.has_stored
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "GlobalCache":
+        z = np.load(path)
+        return cls(stored_sdf=z["sdf"], stored_w=z["w"], has_stored=z["has"])
+
+
+def create_swap_states(settings: Settings) -> jnp.ndarray:
+    return jnp.zeros((settings.hashing.n_entries,), dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def build_swap_in_list(swap_states: jnp.ndarray, cap: int):
+    """reference: buildListToSwapIn_device — state==1, compacted, capped."""
+    mask = swap_states == 1
+    ids = jnp.nonzero(mask, size=cap, fill_value=-1)[0].astype(jnp.int32)
+    return ids, jnp.minimum(jnp.sum(mask), cap).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def merge_swapped_in(
+    vol: HashVolume,
+    swap_states: jnp.ndarray,
+    needed_ids: jnp.ndarray,  # [cap] entry ids, −1 padded
+    buf_sdf: jnp.ndarray,  # [cap, S³] host-gathered blocks
+    buf_w: jnp.ndarray,
+    has_data: jnp.ndarray,  # [cap] bool
+    settings: Settings,
+) -> Tuple[HashVolume, jnp.ndarray]:
+    """reference: integrateOldIntoActiveData_device + combineVoxel* — fold the
+    streamed-in running averages into the live blocks; state→2 for every
+    needed entry (even without stored data, matching the reference)."""
+    hp = settings.hashing
+    E = hp.n_entries
+    B = vol.voxel_sdf.shape[0]
+    max_w = settings.scene.max_w
+
+    ids_c = jnp.clip(needed_ids, 0, E - 1)
+    ptr = vol.entry_ptr[ids_c]
+    valid = (needed_ids >= 0) & (ptr >= 0) & has_data
+    ptr_c = jnp.where(valid, ptr, 0)
+
+    dst_sdf = vol.voxel_sdf[ptr_c]
+    dst_w = vol.voxel_w[ptr_c]
+    src_w = buf_w
+    src_sdf = buf_sdf
+
+    merged_w_raw = dst_w + src_w
+    merged_sdf = (src_w * src_sdf + dst_w * dst_sdf) / jnp.maximum(merged_w_raw, 1)
+    merged_w = jnp.minimum(merged_w_raw, max_w)
+    use = (src_w > 0) & valid[:, None]
+    out_sdf = jnp.where(use, merged_sdf, dst_sdf)
+    out_w = jnp.where(use, merged_w, dst_w)
+
+    scatter_idx = jnp.where(valid, ptr_c, B)
+    voxel_sdf = vol.voxel_sdf.at[scatter_idx].set(out_sdf, mode="drop")
+    voxel_w = vol.voxel_w.at[scatter_idx].set(out_w, mode="drop")
+
+    sidx = jnp.where(needed_ids >= 0, ids_c, E)
+    swap_states = swap_states.at[sidx].set(2, mode="drop")
+    return vol._replace(voxel_sdf=voxel_sdf, voxel_w=voxel_w), swap_states
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def evict_blocks(
+    vol: HashVolume,
+    swap_states: jnp.ndarray,
+    visible_type: jnp.ndarray,
+    settings: Settings,
+):
+    """reference: buildListToSwapOut + moveActiveDataToTransferBuffer +
+    cleanMemory — select state==2 ∧ allocated ∧ invisible entries (≤ cap),
+    copy their blocks out, reset them to empty, return blocks to the free
+    list, ptr→−1 (swapped out), state→0.
+
+    Returns (vol, swap_states, evicted_ids, buf_sdf, buf_w, n)."""
+    hp = settings.hashing
+    E = hp.n_entries
+    B = vol.voxel_sdf.shape[0]
+    cap = hp.n_transfer_blocks
+
+    mask = (swap_states == 2) & (vol.entry_ptr >= 0) & (visible_type == 0)
+    ids = jnp.nonzero(mask, size=cap, fill_value=-1)[0].astype(jnp.int32)
+    n = jnp.minimum(jnp.sum(mask), cap).astype(jnp.int32)
+    valid = ids >= 0
+    ids_c = jnp.clip(ids, 0, E - 1)
+    ptr = vol.entry_ptr[ids_c]
+    ptr_c = jnp.where(valid, ptr, 0)
+
+    buf_sdf = vol.voxel_sdf[ptr_c]
+    buf_w = vol.voxel_w[ptr_c]
+
+    # clear evicted blocks (reference clears to TVoxel() = sdf 1, w 0)
+    scatter_idx = jnp.where(valid, ptr_c, B)
+    voxel_sdf = vol.voxel_sdf.at[scatter_idx].set(
+        jnp.ones_like(buf_sdf), mode="drop"
+    )
+    voxel_w = vol.voxel_w.at[scatter_idx].set(jnp.zeros_like(buf_w), mode="drop")
+
+    # push blocks back on the free stack
+    k = jnp.cumsum(valid.astype(jnp.int32)) - 1  # rank among evicted
+    stack_idx = vol.last_free_block + 1 + k
+    ok = valid & (stack_idx < hp.n_blocks)
+    alloc_list = vol.alloc_list.at[jnp.where(ok, stack_idx, hp.n_blocks)].set(
+        ptr_c, mode="drop"
+    )
+    n_freed = jnp.sum(ok).astype(jnp.int32)
+
+    eidx = jnp.where(valid, ids_c, E)
+    entry_ptr = vol.entry_ptr.at[eidx].set(-1, mode="drop")  # swapped out
+    swap_states = swap_states.at[eidx].set(0, mode="drop")
+
+    new_vol = vol._replace(
+        voxel_sdf=voxel_sdf,
+        voxel_w=voxel_w,
+        alloc_list=alloc_list,
+        last_free_block=vol.last_free_block + n_freed,
+        entry_ptr=entry_ptr,
+    )
+    return new_vol, swap_states, ids, buf_sdf, buf_w, n
+
+
+def swap_in(
+    vol: HashVolume, swap_states: jnp.ndarray, cache: GlobalCache, settings: Settings
+) -> Tuple[HashVolume, jnp.ndarray]:
+    """IntegrateGlobalIntoLocal: device needed-list → host gather → merge."""
+    cap = settings.hashing.n_transfer_blocks
+    ids, n = build_swap_in_list(swap_states, cap)
+    n = int(n)
+    if n == 0:
+        # still must flip state 1→2 for zero entries? n==0 means none in state 1
+        return vol, swap_states
+    ids_np = np.asarray(ids)
+    sel = np.clip(ids_np, 0, cache.stored_sdf.shape[0] - 1)
+    has = cache.has_stored[sel] & (ids_np >= 0)
+    buf_sdf = cache.stored_sdf[sel]
+    buf_w = np.where(has[:, None], cache.stored_w[sel], 0)
+    vol, swap_states = merge_swapped_in(
+        vol,
+        swap_states,
+        ids,
+        jnp.asarray(buf_sdf),
+        jnp.asarray(buf_w),
+        jnp.asarray(has),
+        settings,
+    )
+    return vol, swap_states
+
+
+def swap_out(
+    vol: HashVolume,
+    swap_states: jnp.ndarray,
+    render_state: RenderStateVH,
+    cache: GlobalCache,
+    settings: Settings,
+) -> Tuple[HashVolume, jnp.ndarray]:
+    """SaveToGlobalMemory: evict invisible device-newest blocks to the host
+    store."""
+    vol, swap_states, ids, buf_sdf, buf_w, n = evict_blocks(
+        vol, swap_states, render_state.visible_type, settings
+    )
+    n = int(n)
+    if n > 0:
+        ids_np = np.asarray(ids[:n])
+        cache.stored_sdf[ids_np] = np.asarray(buf_sdf[:n])
+        cache.stored_w[ids_np] = np.asarray(buf_w[:n])
+        cache.has_stored[ids_np] = True
+    return vol, swap_states
+
+
+@partial(jax.jit, static_argnames=())
+def mark_visible_for_swap(swap_states: jnp.ndarray, visible_type: jnp.ndarray) -> jnp.ndarray:
+    """reference: buildVisibleList_device — visible entries not already
+    device-newest need a swap-in check (state→1)."""
+    return jnp.where((visible_type > 0) & (swap_states != 2), 1, swap_states)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def reallocate_swapped_out(
+    vol: HashVolume, visible_type: jnp.ndarray, settings: Settings
+) -> HashVolume:
+    """reference: reAllocateSwappedOutVoxelBlocks_device — visible entries
+    with ptr==−1 get a fresh block from the free list."""
+    hp = settings.hashing
+    E = hp.n_entries
+    need = (visible_type > 0) & (vol.entry_ptr == -1)
+    rank = jnp.cumsum(need.astype(jnp.int32)) - 1
+    list_idx = vol.last_free_block - rank
+    ok = need & (list_idx >= 0)
+    new_block = vol.alloc_list[jnp.clip(list_idx, 0, hp.n_blocks - 1)]
+    idx = jnp.where(ok, jnp.arange(E), E)
+    entry_ptr = vol.entry_ptr.at[idx].set(new_block, mode="drop")
+    n_taken = jnp.sum(ok).astype(jnp.int32)
+    return vol._replace(entry_ptr=entry_ptr, last_free_block=vol.last_free_block - n_taken)

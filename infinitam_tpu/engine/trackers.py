@@ -180,6 +180,79 @@ def track_depth(
     return TrackResult(pose=se3.invert(se3.coerce(inv_pose)), f=f_final, num_valid=n_final)
 
 
+def track_color(
+    pose: jnp.ndarray,  # [4,4] world→depth-camera (pose_d)
+    rgb: jnp.ndarray,  # [H, W, 3] observed rgb (0..1)
+    proj_rgb: jnp.ndarray,  # rgb intrinsics (level 0)
+    locations: jnp.ndarray,  # [Hs, Ws, 4] point-cloud world positions (w=±1)
+    colours: jnp.ndarray,  # [Hs, Ws, 4] known colours (w=±1)
+    depth_to_rgb: jnp.ndarray,  # [4,4] extrinsic (trafo_rgb_to_depth⁻¹)
+    rgb_to_depth: jnp.ndarray,  # [4,4] extrinsic
+    params: TrackingParams,
+    skip_points: bool = True,
+) -> TrackResult:
+    """Photometric LM tracker with trust-region λ control (reference:
+    ITMColorTracker.cpp minimizeLM:138-232 — γ₁=.75/γ₂=.25, region ×2/÷4,
+    MIN_STEP 5e-5, MIN_DECREASE 1e-5, MAX_STEPS 100; pose optimized in the
+    RGB frame: currentPara = calib⁻¹·M_d, TrackCamera:25-48)."""
+    from infinitam_tpu.ops import color_tracking as ct
+    from infinitam_tpu.ops.pyramid import build_rgb_pyramid, gradient_x, gradient_y
+
+    MAX_STEPS = 50
+    MIN_STEP = 5e-5
+    MIN_DECREASE = 1e-5
+    G1, G2 = 0.75, 0.25
+
+    n_levels = params.color_n_levels
+    pyr = build_rgb_pyramid(rgb, n_levels)
+    grads = [(gradient_x(p), gradient_y(p)) for p in pyr]
+    mask = ct.skip_points_mask(locations.shape[:2], skip_points)
+
+    M = depth_to_rgb @ pose  # pose in the rgb frame
+    n_last = jnp.array(0, dtype=jnp.int32)
+    f_last = jnp.array(1e5, dtype=jnp.float32)
+
+    for lvl in range(n_levels - 1, -1, -1):
+        img = pyr[lvl]
+        gx, gy = grads[lvl]
+        proj_l = proj_rgb * (0.5**lvl)
+
+        def cond(s):
+            M_, f_, lam_, done_, steps_ = s
+            return (~done_) & (steps_ < MAX_STEPS)
+
+        def body(s, *, img=img, gx=gx, gy=gy, proj_l=proj_l):
+            M_, f_, lam_, done_, steps_ = s
+            gh = ct.color_g(locations, colours, img, gx, gy, proj_l, M_, mask)
+            diag = jnp.diagonal(gh.hessian)
+            scaled = jnp.where(jnp.abs(diag) >= 1e-15, diag * (1.0 + lam_), lam_ * 1e-10)
+            A = gh.hessian.at[jnp.arange(6), jnp.arange(6)].set(scaled)
+            d = icp._solve_psd(A, gh.nabla)
+            step = -d
+            small = jnp.max(jnp.abs(step)) < MIN_STEP
+
+            M2 = se3.coerce(se3.se3_exp(step) @ M_)
+            f2, _ = ct.color_f(locations, colours, img, proj_l, M2, mask)
+
+            pred = -(jnp.dot(gh.nabla, step) + 0.5 * step @ gh.hessian @ step)
+            rho = (gh.f - f2) / jnp.where(jnp.abs(pred) < 1e-20, 1e-20, jnp.abs(pred))
+            success = rho > G2
+            lam_new = jnp.where(rho > G1, lam_ / 2.0, jnp.where(success, lam_, lam_ * 4.0))
+            no_decrease = ~(f2 < gh.f - jnp.abs(gh.f) * MIN_DECREASE)
+
+            M_out = jnp.where(success & ~small, M2, M_)
+            f_out = jnp.where(success & ~small, f2, gh.f)
+            done_out = done_ | small | (success & no_decrease)
+            return (M_out, f_out, lam_new, done_out, steps_ + 1)
+
+        init = (M, jnp.array(jnp.inf, dtype=jnp.float32), jnp.array(0.01, dtype=jnp.float32), jnp.array(False), jnp.array(0, dtype=jnp.int32))
+        M, f_last, _lam, _done, _steps = jax.lax.while_loop(cond, body, init)
+
+    new_pose = se3.coerce(rgb_to_depth @ M)
+    _f, n_last = None, jnp.sum((locations[..., 3] > 0) & mask).astype(jnp.int32)
+    return TrackResult(pose=new_pose, f=f_last, num_valid=n_last)
+
+
 def track_external(pose: jnp.ndarray, external_pose: jnp.ndarray) -> TrackResult:
     """External/ROS-TF pose injection — the tracker is a pass-through
     (reference: ITMExternalTracker.cpp:27-30)."""

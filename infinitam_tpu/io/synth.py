@@ -47,16 +47,16 @@ def scene_sdf(p: jnp.ndarray) -> jnp.ndarray:
 
 
 def scene_color(p: jnp.ndarray) -> jnp.ndarray:
-    """Procedural surface colour for the color-fusion path. [...,3] in 0..1."""
-    stripes = 0.5 + 0.5 * jnp.sin(p[..., 0] * 20.0)
-    return jnp.stack(
-        [
-            0.2 + 0.8 * stripes,
-            0.3 + 0.4 * jnp.cos(p[..., 1] * 15.0) ** 2,
-            jnp.clip(p[..., 2] / 3.0, 0.0, 1.0),
-        ],
-        axis=-1,
-    )
+    """Procedural surface colour for the color-fusion path. [...,3] in 0..1.
+
+    High-contrast multi-axis texture so the photometric energy is
+    well-conditioned in all six pose DoF.
+    """
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    r = 0.5 + 0.25 * jnp.sin(x * 23.0 + z * 7.0) + 0.25 * jnp.sin(y * 17.0)
+    g = 0.5 + 0.25 * jnp.sin(y * 19.0 - x * 11.0) + 0.25 * jnp.cos(z * 13.0)
+    b = 0.5 + 0.25 * jnp.sin(z * 21.0 + y * 9.0) + 0.25 * jnp.cos(x * 15.0)
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 1.0)
 
 
 @partial(jax.jit, static_argnames=("img_size", "n_steps"))

@@ -89,10 +89,12 @@ def generic_raycast(
         return jnp.any(s.active)
 
     def body(s: _S):
-        sdf_u, found = read_sdf_uninterpolated(read, s.pt)
-        in_band = (sdf_u <= 0.1) & (sdf_u >= -0.5) & found
-        sdf_i, _ = read_sdf_interpolated(read, s.pt)
-        sdf = jnp.where(in_band, sdf_i, sdf_u)
+        # March on UNINTERPOLATED reads only (1 probe/step). The reference
+        # also trilinearly re-reads inside the −0.5..0.1 band every step
+        # (castRay:135-138) — 9 probes/step; on TPU both predicated branches
+        # execute, so we drop the in-loop interpolation and recover the
+        # accuracy in the post-loop trilinear secant refinement instead.
+        sdf, found = read_sdf_uninterpolated(read, s.pt)
 
         hit = found & (sdf <= 0.0)
         # Through unallocated space, step to the EXIT of the current block
@@ -125,10 +127,13 @@ def generic_raycast(
     final = jax.lax.while_loop(cond, body, init)
 
     found_surface = final.sdf <= 0.0
-    # two secant refinement steps (reference: castRay tail)
+    # secant refinement with trilinear reads (reference: castRay tail; one
+    # extra interpolated step compensates for the uninterpolated march)
     pt = final.pt + (final.sdf * step_scale)[..., None] * ray_dir
     sdf_refined, _ = read_sdf_interpolated(read, pt)
     pt = pt + (sdf_refined * step_scale)[..., None] * ray_dir
+    sdf_refined2, _ = read_sdf_interpolated(read, pt)
+    pt = pt + (sdf_refined2 * step_scale)[..., None] * ray_dir
 
     points = jnp.concatenate(
         [

@@ -1,0 +1,111 @@
+"""Headless CLI SLAM runner — the reference's InfiniTAM_cli.
+
+Reference parity: Engine/CLIEngine.{h,cpp} (getImages→ProcessFrame loop with
+instant + running-average ms, CLIEngine.cpp:50-99) and InfiniTAM_cli.cpp's
+argument handling (`calib.txt rgb_mask depth_mask`).
+
+Usage:
+    python -m infinitam_tpu.apps.cli <calib.txt> [<rgb_mask> <depth_mask>]
+        [--frames N] [--synthetic] [--out-mesh scene.stl]
+        [--out-render render_%04i.ppm] [--voxel-size 0.005] [--mu 0.02]
+        [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU-native dense SLAM (headless)")
+    ap.add_argument("calib", nargs="?", help="calibration text file")
+    ap.add_argument("rgb_mask", nargs="?", help="printf mask for rgb frames (%%04i.ppm)")
+    ap.add_argument("depth_mask", nargs="?", help="printf mask for depth frames (%%04i.pgm)")
+    ap.add_argument("--synthetic", action="store_true", help="replay the synthetic scene")
+    ap.add_argument("--frames", type=int, default=50)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--voxel-size", type=float, default=0.005)
+    ap.add_argument("--mu", type=float, default=0.02)
+    ap.add_argument("--tracker", default="icp", choices=["icp", "wicp", "color", "ren", "external"])
+    ap.add_argument("--swapping", action="store_true")
+    ap.add_argument("--out-mesh", default=None)
+    ap.add_argument("--out-render", default=None, help="printf mask for raycast dumps")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    from infinitam_tpu.calib import default_calib
+    from infinitam_tpu.config import Settings, SceneParams, SwappingMode, TrackerType
+    from infinitam_tpu.engine.main_engine import MainEngine
+    from infinitam_tpu.io import synth
+    from infinitam_tpu.io.sources import ImageFileReader
+    from infinitam_tpu.utils.image_io import write_ppm, expand_printf_mask
+
+    settings = Settings(
+        scene=SceneParams(voxel_size=args.voxel_size, mu=args.mu),
+        tracker_type=TrackerType(args.tracker),
+        swapping_mode=SwappingMode.ENABLED if args.swapping else SwappingMode.DISABLED,
+        use_color=args.tracker == "color",
+    )
+
+    if args.synthetic or not args.calib:
+        calib = default_calib(args.width, args.height)
+        src = synth.SyntheticSource(
+            calib, n_frames=args.frames, img_size=(args.height, args.width),
+            with_rgb=args.tracker == "color",
+        )
+        synthetic = True
+    else:
+        src = ImageFileReader(args.calib, args.rgb_mask or "", args.depth_mask)
+        calib = src.calib
+        synthetic = False
+
+    img_size = (calib.intrinsics_d.height, calib.intrinsics_d.width)
+    engine = MainEngine(settings, calib, img_size)
+
+    total_ms = 0.0
+    n = 0
+    while src.has_more_images() and n < args.frames:
+        if synthetic:
+            depth, rgb, _gt = src.get_images()
+            t0 = time.perf_counter()
+            diag = engine.process_frame(metric_depth=depth, rgb=rgb)
+        else:
+            raw_depth, rgb = src.get_images()
+            t0 = time.perf_counter()
+            diag = engine.process_frame(raw_depth=raw_depth, rgb=rgb)
+        dt = (time.perf_counter() - t0) * 1e3
+        total_ms += dt
+        n += 1
+        # reference CLIEngine prints instant + running average each frame
+        print(
+            f"frame {n:4d}: {dt:7.1f} ms (avg {total_ms / n:7.1f} ms)  "
+            f"inliers={diag.get('num_valid', 0):6d} visible={diag.get('n_visible', 0):5d}",
+            flush=True,
+        )
+        if args.out_render:
+            img = engine.get_image("raycast")
+            write_ppm(
+                expand_printf_mask(args.out_render, n),
+                np.stack([img] * 3, axis=-1),
+            )
+
+    if args.out_mesh:
+        engine.save_scene_to_mesh(args.out_mesh)
+        print(f"mesh saved to {args.out_mesh}")
+    print(f"processed {n} frames, avg {total_ms / max(n, 1):.1f} ms/frame")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

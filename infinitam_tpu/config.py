@@ -132,6 +132,15 @@ class Settings:
     plain: PlainVoxelArrayParams = PlainVoxelArrayParams()
     block_grid: BlockGridParams = BlockGridParams()
     use_block_grid: bool = True  # raycast through the dense block-index cache
+    # allocation-ray pixel stride (1 = reference-faithful every-pixel march;
+    # 2 quarters the probe cost with near-identical coverage — see
+    # hash_pipeline.allocate_scene_from_depth)
+    alloc_subsample: int = 2
+    # hierarchical raycast: coarse pass at 1/factor res bounds the full-res
+    # march (1 disables; requires image dims divisible by the factor). With
+    # straggler compaction in the march (ops/raycast.py) the coarse pass
+    # rarely pays for itself, so it is off by default.
+    raycast_coarse_factor: int = 1
     tracking: TrackingParams = TrackingParams()
     tracker_type: TrackerType = TrackerType.ICP
     swapping_mode: SwappingMode = SwappingMode.DISABLED

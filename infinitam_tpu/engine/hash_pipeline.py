@@ -61,9 +61,18 @@ def allocate_scene_from_depth(
 
     visible_type = hv.set_previous_visible(render_state)
 
+    # Allocation rays from a subsampled depth grid: a block spans ~8+ pixels,
+    # so a stride-s grid still touches every surface block (and the DDA below
+    # is exact per ray) at 1/s² the probe cost. The reference marches every
+    # pixel (buildHashAllocAndVisibleType_device) because CUDA probes are
+    # cheap; TPU gathers are the budget here.
+    s = settings.alloc_subsample
+    depth_a = depth[::s, ::s] if s > 1 else depth
+    proj_a = proj / s if s > 1 else proj
+
     blocks, valid = hashing.blocks_on_ray_segment(
-        depth,
-        proj,
+        depth_a,
+        proj_a,
         se3.invert(pose),
         sp.mu,
         sp.voxel_size,
@@ -75,17 +84,22 @@ def allocate_scene_from_depth(
     cand = blocks.reshape(-1, 3)
     cand_valid = valid.reshape(-1)
 
-    # Two plan/execute rounds: the scatter race lets one NEW block win a
-    # contended bucket per round (the reference defers losers to the next
-    # FRAME — ITMSceneReconstructionEngine_CUDA.cu's benign race); a second
-    # round against the updated table allocates the losers into the excess
-    # list immediately, removing the reference's first-frame pinholes.
-    for _round in range(2):
-        plan = hv.plan_allocations(vol, visible_type, cand, cand_valid, hp)
-        if only_update_visible:
-            visible_type = plan.visible_type
-            break
+    # Round 1: plan + execute over all candidates. The scatter race lets one
+    # NEW block win a contended bucket (the reference defers losers to the
+    # next FRAME — ITMSceneReconstructionEngine_CUDA.cu's benign race).
+    plan = hv.plan_allocations(vol, visible_type, cand, cand_valid, hp)
+    if only_update_visible:
+        visible_type = plan.visible_type
+    else:
         vol, visible_type = hv.execute_allocations(vol, plan, hp)
+        # Round 2 over the COMPACTED retry set (race losers + excess misses):
+        # removes the reference's first-frame pinholes at negligible cost.
+        retry_cap = min(8192, cand.shape[0])
+        ridx = jnp.nonzero(plan.cand_need, size=retry_cap, fill_value=-1)[0]
+        rvalid = ridx >= 0
+        rcand = cand[jnp.clip(ridx, 0, cand.shape[0] - 1)]
+        plan2 = hv.plan_allocations(vol, visible_type, rcand, rvalid, hp)
+        vol, visible_type = hv.execute_allocations(vol, plan2, hp)
 
     use_swapping = settings.swapping_mode.value == "enabled"
     new_rs = hv.build_visible_list(
@@ -280,9 +294,31 @@ def raycast_hash(
         read = hv.make_grid_reader(vol, grid, settings.block_grid, settings.hashing)
     else:
         read = hv.make_hash_reader(vol, settings.hashing)
+    inv_M = se3.invert(pose)
+
+    H, W = img_size
+    c = settings.raycast_coarse_factor
+    if c > 1 and H % c == 0 and W % c == 0:
+        # hierarchical: coarse quarter-res pass → tight per-pixel ranges
+        img_c = (H // c, W // c)
+        zmin_c = -jax.lax.reduce_window(
+            -zmin, -jnp.inf, jax.lax.max, (c, c), (c, c), "VALID"
+        )
+        zmax_c = jax.lax.reduce_window(
+            zmax, -jnp.inf, jax.lax.max, (c, c), (c, c), "VALID"
+        )
+        res_c = rc.generic_raycast(
+            read, inv_M, proj / c, img_c, 1.0 / sp.voxel_size, sp.mu,
+            zmin_c, zmax_c, block_size=settings.hashing.block_size,
+        )
+        zmin, zmax = rc.refine_ranges_from_coarse(
+            res_c.points, pose, sp.voxel_size, img_size, c,
+            margin_m=2.0 * sp.mu, zmin0=zmin, zmax0=zmax,
+        )
+
     return rc.generic_raycast(
         read,
-        se3.invert(pose),
+        inv_M,
         proj,
         img_size,
         1.0 / sp.voxel_size,
@@ -373,6 +409,33 @@ def process_frame_hash(
             settings.tracking,
             skip_points=settings.skip_points,
         )
+    elif tt == TrackerType.REN:
+        # composite ICP→Ren (reference: ITMTrackerFactory MakeRenTracker —
+        # ICP runs the coarse levels (noICPRunTillLevel=1), the SDF tracker
+        # refines at the finest level against the volume directly)
+        import dataclasses as _dc
+
+        from infinitam_tpu.engine.trackers import track_ren
+
+        icp_params = _dc.replace(settings.tracking, no_icp_run_till_level=1)
+        tr_icp = track_depth(
+            state.pose,
+            view.depth,
+            proj,
+            state.points_map,
+            state.normals_map,
+            state.pose_point_cloud,
+            icp_params,
+        )
+        if settings.use_block_grid:
+            _grid = hv.build_block_grid(vol, settings.block_grid, settings.hashing)
+            _read = hv.make_grid_reader(vol, _grid, settings.block_grid, settings.hashing)
+        else:
+            _read = hv.make_hash_reader(vol, settings.hashing)
+        tr = track_ren(
+            tr_icp.pose, view.depth, proj, _read, settings.scene.voxel_size, settings.tracking
+        )
+        tr = tr._replace(num_valid=tr_icp.num_valid, f=tr_icp.f)
     elif tt == TrackerType.WICP:
         tr = track_depth(
             state.pose,
@@ -417,17 +480,47 @@ def process_frame_hash(
             img_size,
             settings,
         )
+        pose_pc = pose
+        age = jnp.array(0, dtype=jnp.int32)
+    elif settings.use_approximate_raycast:
+        # reference: ITMTrackingController — full CreateICPMaps only when the
+        # camera moved away from the last raycast (TrackerFarFromPointCloud);
+        # otherwise keep the stale maps and age them (the ForwardRender path
+        # only refreshes the display raycast incrementally).
+        from infinitam_tpu.engine.trackers import track_far_from_point_cloud
+
+        requires_full = (state.age < 0) | track_far_from_point_cloud(
+            pose, state.pose_point_cloud, state.age
+        )
+
+        def full_branch(_):
+            pm, nm = prepare_tracking_maps(vol, render_state, pose, proj, img_size, settings)
+            return pm, nm, pose, jnp.array(0, dtype=jnp.int32)
+
+        def approx_branch(_):
+            return (
+                state.points_map,
+                state.normals_map,
+                state.pose_point_cloud,
+                state.age + 1,
+            )
+
+        points_map, normals_map, pose_pc, age = jax.lax.cond(
+            requires_full, full_branch, approx_branch, None
+        )
     else:
         points_map, normals_map = prepare_tracking_maps(
             vol, render_state, pose, proj, img_size, settings
         )
+        pose_pc = pose
+        age = jnp.array(0, dtype=jnp.int32)
 
     new_state = TrackingState(
         pose=pose,
         points_map=points_map,
         normals_map=normals_map,
-        pose_point_cloud=pose,
-        age=jnp.array(0, dtype=jnp.int32),
+        pose_point_cloud=pose_pc,
+        age=age,
         f=tr.f,
         num_valid=tr.num_valid,
     )

@@ -103,16 +103,27 @@ class ProbeResult(NamedTuple):
     ordered_empty: jnp.ndarray  # bool: the ordered bucket itself is empty
 
 
+def pack_entries(vol: HashVolume) -> jnp.ndarray:
+    """[E, 5] int32 (pos.xyz, ptr, offset) — one row-gather per chain link
+    instead of three separate table gathers (TPU gather-count optimization)."""
+    return jnp.concatenate(
+        [vol.entry_pos, vol.entry_ptr[:, None], vol.entry_offset[:, None]], axis=1
+    )
+
+
 def probe(
     vol: HashVolume,
     block_pos: jnp.ndarray,  # [..., 3] int32
     params: VoxelBlockHashParams,
     include_swapped: bool = True,
+    packed: Optional[jnp.ndarray] = None,  # pack_entries(vol), reused across calls
 ) -> ProbeResult:
     """Vectorized hash-chain walk (reference: findVoxel hash overload,
     ITMRepresentationAccess.h:22-54, statically unrolled to MAX_PROBE links).
     """
     min_ptr = SWAPPED_PTR if include_swapped else 0
+    if packed is None:
+        packed = pack_entries(vol)
     idx0 = hash_index(block_pos, params.hash_mask)
 
     cur = idx0
@@ -120,12 +131,15 @@ def probe(
     found_idx = idx0
     found_ptr = jnp.full(block_pos.shape[:-1], FREE_PTR, dtype=jnp.int32)
     tail = idx0
-    ordered_empty = vol.entry_ptr[idx0] < SWAPPED_PTR
+    ordered_empty = None
 
-    for _ in range(MAX_PROBE):
-        pos = vol.entry_pos[cur]
-        ptr = vol.entry_ptr[cur]
-        off = vol.entry_offset[cur]
+    for k in range(MAX_PROBE):
+        row = packed[cur]  # [..., 5]
+        pos = row[..., :3]
+        ptr = row[..., 3]
+        off = row[..., 4]
+        if k == 0:
+            ordered_empty = ptr < SWAPPED_PTR
         match = jnp.all(pos == block_pos, axis=-1) & (ptr >= min_ptr) & ~found
         found_idx = jnp.where(match, cur, found_idx)
         found_ptr = jnp.where(match, ptr, found_ptr)
@@ -178,6 +192,7 @@ class AllocationPlan(NamedTuple):
     alloc_type: jnp.ndarray  # [E] int32: 0 none, 1 ordered, 2 excess
     block_coords: jnp.ndarray  # [E, 3] int32 requested block pos
     visible_type: jnp.ndarray  # [E] int32 updated visibility marks
+    cand_need: jnp.ndarray  # [N] bool: candidate not found (allocation wanted)
 
 
 def plan_allocations(
@@ -186,13 +201,14 @@ def plan_allocations(
     cand_blocks: jnp.ndarray,  # [N, 3] int32 candidate block coords
     cand_valid: jnp.ndarray,  # [N] bool
     params: VoxelBlockHashParams,
+    packed: Optional[jnp.ndarray] = None,
 ) -> AllocationPlan:
     """Mark entries to allocate + visibility of touched entries (reference:
     buildHashAllocAndVisibleTypePP scatter phase). Contended buckets keep ONE
     winner per frame (duplicate-index scatter), like the reference's benign
     last-writer-wins CUDA race; losers retry next frame."""
     E = params.n_entries
-    pr = probe(vol, cand_blocks, params, include_swapped=True)
+    pr = probe(vol, cand_blocks, params, include_swapped=True, packed=packed)
 
     # visibility marks for found entries: 2 if swapped out, 1 otherwise
     vis_val = jnp.where(pr.entry_ptr == SWAPPED_PTR, VT_VISIBLE_SWAPPED, VT_VISIBLE)
@@ -215,7 +231,12 @@ def plan_allocations(
     # entriesVisibleType[hashIdx]=1 for !isExcess)
     vidx1 = jnp.where(need & (a_type == 1), pr.tail_idx, E)
     visible_type = visible_type.at[vidx1].set(VT_VISIBLE, mode="drop")
-    return AllocationPlan(alloc_type=alloc_type, block_coords=block_coords, visible_type=visible_type)
+    return AllocationPlan(
+        alloc_type=alloc_type,
+        block_coords=block_coords,
+        visible_type=visible_type,
+        cand_need=need,
+    )
 
 
 def execute_allocations(

@@ -100,10 +100,17 @@ def track_depth(
     iters = level_iterations(params)
 
     depth_pyr = build_depth_pyramid(depth, params.n_levels)
-    weight_pyr: List[Optional[jnp.ndarray]] = [weights_map]
+    # weights_map carries σ_z (depth uncertainty); the per-pixel ICP weight is
+    # minσ/σ·0.5 + 0.5 ∈ (0.5, 1] (reference: ITMWeightedICPTracker_CPU.cpp:43)
+    weight_pyr: List[Optional[jnp.ndarray]] = []
     if weights_map is not None:
+        sigma_pyr = [weights_map]
         for _ in range(params.n_levels - 1):
-            weight_pyr.append(subsample_with_holes(weight_pyr[-1]))
+            sigma_pyr.append(subsample_with_holes(sigma_pyr[-1]))
+        for sig in sigma_pyr:
+            pos = sig > 0
+            min_sigma = jnp.min(jnp.where(pos, sig, jnp.inf))
+            weight_pyr.append(jnp.where(pos, min_sigma / jnp.maximum(sig, 1e-12) * 0.5 + 0.5, 0.0))
     else:
         weight_pyr = [None] * params.n_levels
 
@@ -251,6 +258,65 @@ def track_color(
     new_pose = se3.coerce(rgb_to_depth @ M)
     _f, n_last = None, jnp.sum((locations[..., 3] > 0) & mask).astype(jnp.int32)
     return TrackResult(pose=new_pose, f=f_last, num_valid=n_last)
+
+
+def track_ren(
+    pose: jnp.ndarray,  # [4,4] world→camera initial estimate
+    depth: jnp.ndarray,  # [H, W] metric depth
+    proj: jnp.ndarray,
+    read,  # voxel SDF reader closure (int pts → (sdf, found))
+    voxel_size: float,
+    params: TrackingParams,
+    max_steps: int = 30,
+) -> TrackResult:
+    """Ren et al. SDF tracker — LM on the exp-SDF energy with MRP rotations
+    (reference: ITMRenTracker.cpp:106-160 — λ=1000 start, ×0.1 accept / ×10
+    reject, MIN_STEP 5e-5, relative MIN_DECREASE 1e-4; runs at the finest
+    level as a refinement after ICP)."""
+    from infinitam_tpu.ops import ren_tracking as rt
+
+    MIN_STEP = 5e-5
+    MIN_DECREASE = 1e-4
+
+    one_over_voxel = 1.0 / voxel_size
+    pts_cam = rt.unproject_view(depth, proj)
+    inv_M = se3.invert(pose)
+
+    f0 = rt.energy(read, pts_cam, inv_M, one_over_voxel)
+
+    def cond(s):
+        inv_, f_, lam_, it_, done_ = s
+        return (~done_) & (it_ < max_steps)
+
+    def body(s):
+        inv_, f_, lam_, it_, done_ = s
+        nabla, H = rt.gradient_hessian(read, pts_cam, inv_, one_over_voxel)
+        diag = jnp.diagonal(H)
+        scaled = jnp.where(jnp.abs(diag) >= 1e-15, diag * (1.0 + lam_), lam_ * 1e-10)
+        A = H.at[jnp.arange(6), jnp.arange(6)].set(scaled)
+        step = -icp._solve_psd(A, nabla)
+        small = jnp.max(jnp.abs(step)) < MIN_STEP
+
+        inv2 = se3.coerce(rt.delta_matrix(step) @ inv_)
+        f2 = rt.energy(read, pts_cam, inv2, one_over_voxel)
+        accept = f2 < f_
+        tiny = jnp.abs(f2 - f_) / jnp.maximum(jnp.abs(f_), 1e-12) < MIN_DECREASE
+        lam_new = jnp.where(accept, lam_ * 0.1, lam_ * 10.0)
+        inv_new = jnp.where(accept & ~small, inv2, inv_)
+        f_new = jnp.where(accept & ~small, f2, f_)
+        done_new = done_ | small | (accept & tiny)
+        return (inv_new, f_new, lam_new, it_ + 1, done_new)
+
+    inv_f, f_f, _l, _i, _d = jax.lax.while_loop(
+        cond,
+        body,
+        (inv_M, f0, jnp.array(1.0, jnp.float32), jnp.array(0, jnp.int32), jnp.array(False)),
+    )
+    return TrackResult(
+        pose=se3.invert(se3.coerce(inv_f)),
+        f=f_f,
+        num_valid=jnp.sum(depth > 0).astype(jnp.int32),
+    )
 
 
 def track_external(pose: jnp.ndarray, external_pose: jnp.ndarray) -> TrackResult:

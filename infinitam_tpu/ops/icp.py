@@ -104,21 +104,20 @@ def reduce_gh(
 ) -> GHResult:
     """Normal-equation reduction: one masked matmul over the pixel axis.
 
-    weights: optional per-pixel scale (weighted ICP multiplies both b and A —
-    reference DeviceAgnostic/ITMWeightedICPTracker.h applies the noise weight
-    to the residual terms).
+    weights: optional per-pixel scale w applied to the Jacobian rows
+    (reference DeviceAgnostic/ITMWeightedICPTracker.h scales the
+    correspondence normal: H += (wA)(wA)ᵀ, ∇ += b·(wA), f += (wb)²).
     """
     w = valid.astype(b.dtype)
     if weights is not None:
         w = w * weights
     Af = A.reshape(-1, 6) * w.reshape(-1, 1)
     bf = b.reshape(-1) * w.reshape(-1)
-    # Σ A Aᵀ as a [6,N]@[N,6] matmul (MXU) — mask already folded into Af;
-    # un-weighted rows are exactly zero so they do not contribute.
-    A_raw = A.reshape(-1, 6)
-    hessian = jnp.einsum("ni,nj->ij", Af, A_raw, preferred_element_type=jnp.float32)
-    nabla = jnp.einsum("n,ni->i", bf, A_raw, preferred_element_type=jnp.float32)
-    sum_f = jnp.sum(bf * b.reshape(-1))
+    b_valid = b.reshape(-1) * valid.astype(b.dtype).reshape(-1)
+    # Σ (wA)(wA)ᵀ as a [6,N]@[N,6] matmul (MXU) — mask folded into Af.
+    hessian = jnp.einsum("ni,nj->ij", Af, Af, preferred_element_type=jnp.float32)
+    nabla = jnp.einsum("n,ni->i", b_valid, Af, preferred_element_type=jnp.float32)
+    sum_f = jnp.sum(bf * bf)
     n_valid = jnp.sum(valid)
     f = jnp.where(n_valid > min_valid, jnp.sqrt(jnp.abs(sum_f)) / jnp.maximum(n_valid, 1), 1e5)
     return GHResult(f=f, nabla=nabla, hessian=hessian, num_valid=n_valid)

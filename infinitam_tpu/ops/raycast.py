@@ -33,6 +33,170 @@ class RaycastResult(NamedTuple):
     points: jnp.ndarray
 
 
+def pixel_rays(
+    inv_M: jnp.ndarray,
+    proj: jnp.ndarray,
+    img_size: Tuple[int, int],
+    one_over_voxel_size: float,
+    zmin: jnp.ndarray,
+    zmax: jnp.ndarray,
+):
+    """Per-pixel ray parameters in voxel units: (pt_start [H,W,3], ray_dir,
+    len_start [H,W], len_end)."""
+    H, W = img_size
+    fx, fy, cx, cy = proj[0], proj[1], proj[2], proj[3]
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, axis=0)
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, axis=1)
+    dir_cam = jnp.stack([(xs - cx) / fx, (ys - cy) / fy, jnp.ones_like(xs)], axis=-1)
+
+    def to_world_voxels(z):
+        pc = dir_cam * z[..., None]
+        pw = jnp.einsum("ij,hwj->hwi", inv_M[:3, :3], pc) + inv_M[:3, 3]
+        return pw * one_over_voxel_size
+
+    pt_start = to_world_voxels(zmin)
+    pt_end = to_world_voxels(zmax)
+    len_start = jnp.linalg.norm(dir_cam * zmin[..., None], axis=-1) * one_over_voxel_size
+    len_end = jnp.linalg.norm(dir_cam * zmax[..., None], axis=-1) * one_over_voxel_size
+    ray_dir = pt_end - pt_start
+    ray_dir = ray_dir / jnp.maximum(jnp.linalg.norm(ray_dir, axis=-1, keepdims=True), 1e-12)
+    return pt_start, ray_dir, len_start, len_end
+
+
+def raycast_rays(
+    read: ReadFn,
+    pt_start: jnp.ndarray,  # [..., 3] voxel units
+    ray_dir: jnp.ndarray,  # [..., 3] unit
+    len_start: jnp.ndarray,  # [...]
+    len_end: jnp.ndarray,  # [...]
+    step_scale: float,  # mu / voxel_size
+    block_size: int = 8,
+    active_init: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Lock-step sphere tracing along arbitrary ray bundles → [..., 4]
+    (position in voxel units, w = hit flag).
+
+    Semantics follow the reference castRay: step sdf·(mu/voxelSize) clamped
+    to ≥1 voxel inside allocated space; stop on sign change; trilinear secant
+    refinement. Differences (deliberate, TPU-first):
+    - the march reads UNINTERPOLATED only (the reference also trilinearly
+      re-reads inside the −0.5..0.1 band every step, castRay:135-138 — on
+      TPU both predicated branches execute, so that would cost 9 probes/step);
+    - through unallocated space the step is a DDA clamp to the current
+      block's exit instead of the blind 8-voxel jump (castRay:131), which
+      can clear the whole ±mu shell and lose the ray — a known InfiniTAM
+      hole artifact.
+    """
+    shape = len_start.shape
+
+    class _S(NamedTuple):
+        pt: jnp.ndarray
+        total: jnp.ndarray
+        sdf: jnp.ndarray
+        active: jnp.ndarray
+
+    def body(s: _S, ray_dir, len_end):
+        sdf, found = read_sdf_uninterpolated(read, s.pt)
+        hit = found & (sdf <= 0.0)
+        blk = jnp.floor(s.pt / block_size)
+        nxt_bound = (blk + (ray_dir > 0)) * block_size
+        safe_dir = jnp.where(jnp.abs(ray_dir) < 1e-9, 1e-9, ray_dir)
+        t_axis = (nxt_bound - s.pt) / safe_dir
+        t_exit = jnp.min(jnp.where(jnp.abs(ray_dir) < 1e-9, 1e9, t_axis), axis=-1)
+        empty_step = jnp.clip(t_exit + 0.01, 0.5, float(block_size))
+        step = jnp.where(found, jnp.maximum(sdf * step_scale, 1.0), empty_step)
+
+        advance = s.active & ~hit
+        new_pt = jnp.where(advance[..., None], s.pt + step[..., None] * ray_dir, s.pt)
+        new_total = jnp.where(advance, s.total + step, s.total)
+        new_active = advance & (new_total < len_end)
+        new_sdf = jnp.where(s.active, sdf, s.sdf)
+        return _S(pt=new_pt, total=new_total, sdf=new_sdf, active=new_active)
+
+    init = _S(
+        pt=pt_start,
+        total=len_start,
+        sdf=jnp.ones(shape, dtype=jnp.float32),
+        active=jnp.ones(shape, dtype=bool) if active_init is None else active_init,
+    )
+
+    # Two-phase march (TPU-native; the CUDA reference lets each thread exit
+    # early, but a lock-step march pays EVERY ray's cost until the slowest
+    # straggler finishes — measured: mean ~12 steps/ray yet 84 lock-step
+    # iterations). Phase 1: a fixed-count march over the full bundle. Phase
+    # 2: compact the surviving stragglers (~1/8 of rays) into a small dense
+    # bundle and march those to completion, then scatter back.
+    PHASE1 = 20
+    final = jax.lax.fori_loop(
+        0, PHASE1, lambda _i, s: body(s, ray_dir, len_end), init
+    )
+
+    n = 1
+    for d in shape:
+        n *= d
+    if n >= 4096:  # compaction only pays off for large bundles
+        cap = n // 4
+        flat = lambda a: a.reshape((n,) + a.shape[len(shape):])
+
+        def compacted_finish(st: _S) -> _S:
+            f_active = flat(st.active)
+            idx = jnp.nonzero(f_active, size=cap, fill_value=-1)[0]
+            sel = jnp.clip(idx, 0, n - 1)
+            sub = _S(
+                pt=flat(st.pt)[sel],
+                total=flat(st.total)[sel],
+                sdf=flat(st.sdf)[sel],
+                active=f_active[sel] & (idx >= 0),
+            )
+            sub_dir = flat(ray_dir)[sel]
+            sub_end = flat(len_end)[sel]
+            sub_final = jax.lax.while_loop(
+                lambda s: jnp.any(s.active),
+                lambda s: body(s, sub_dir, sub_end),
+                sub,
+            )
+            scatter_to = jnp.where(idx >= 0, sel, n)
+            f_pt = flat(st.pt).at[scatter_to].set(sub_final.pt, mode="drop")
+            f_total = flat(st.total).at[scatter_to].set(sub_final.total, mode="drop")
+            f_sdf = flat(st.sdf).at[scatter_to].set(sub_final.sdf, mode="drop")
+            return _S(
+                pt=f_pt.reshape(shape + (3,)),
+                total=f_total.reshape(shape),
+                sdf=f_sdf.reshape(shape),
+                active=jnp.zeros(shape, dtype=bool),
+            )
+
+        def full_finish(st: _S) -> _S:
+            out = jax.lax.while_loop(
+                lambda s: jnp.any(s.active), lambda s: body(s, ray_dir, len_end), st
+            )
+            return out._replace(active=jnp.zeros(shape, dtype=bool))
+
+        n_active = jnp.sum(final.active)
+        final = jax.lax.cond(n_active <= cap, compacted_finish, full_finish, final)
+    else:
+        final = jax.lax.while_loop(
+            lambda s: jnp.any(s.active), lambda s: body(s, ray_dir, len_end), final
+        )
+
+    found_surface = (final.sdf <= 0.0) & (
+        jnp.ones(shape, dtype=bool) if active_init is None else active_init
+    )
+    pt = final.pt + (final.sdf * step_scale)[..., None] * ray_dir
+    sdf_refined, _ = read_sdf_interpolated(read, pt)
+    pt = pt + (sdf_refined * step_scale)[..., None] * ray_dir
+    sdf_refined2, _ = read_sdf_interpolated(read, pt)
+    pt = pt + (sdf_refined2 * step_scale)[..., None] * ray_dir
+
+    return jnp.concatenate(
+        [
+            jnp.where(found_surface[..., None], pt, final.pt),
+            jnp.where(found_surface, 1.0, 0.0)[..., None],
+        ],
+        axis=-1,
+    )
+
+
 def generic_raycast(
     read: ReadFn,
     inv_M: jnp.ndarray,  # [4,4] camera→world
@@ -45,104 +209,61 @@ def generic_raycast(
     block_size: int = 8,
     max_steps: int | None = None,
 ) -> RaycastResult:
-    """Lock-step sphere tracing of the TSDF along all pixel rays.
-
-    Semantics follow the reference castRay: march from zmin to zmax in voxel
-    units; step sdf·(mu/voxelSize) clamped to ≥1 voxel inside allocated
-    space, a whole block width (8) through unallocated space; switch to
-    trilinear reads inside the −0.5..0.1 band; stop on sign change and refine
-    with two secant steps.
-    """
-    H, W = img_size
-    fx, fy, cx, cy = proj[0], proj[1], proj[2], proj[3]
-    step_scale = mu * one_over_voxel_size
-
-    xs = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, axis=0)
-    ys = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, axis=1)
-    # camera-frame ray through each pixel at unit depth
-    dir_cam = jnp.stack(
-        [(xs - cx) / fx, (ys - cy) / fy, jnp.ones_like(xs)], axis=-1
+    """Full-image raycast (reference: genericRaycast_device over all pixels)."""
+    del max_steps
+    pt_start, ray_dir, len_start, len_end = pixel_rays(
+        inv_M, proj, img_size, one_over_voxel_size, zmin, zmax
     )
-
-    def to_world_voxels(z):
-        pc = dir_cam * z[..., None]
-        pw = jnp.einsum("ij,hwj->hwi", inv_M[:3, :3], pc) + inv_M[:3, 3]
-        return pw * one_over_voxel_size
-
-    pt_start = to_world_voxels(zmin)
-    pt_end = to_world_voxels(zmax)
-    ray_len_start = jnp.linalg.norm(dir_cam * zmin[..., None], axis=-1) * one_over_voxel_size
-    ray_len_end = jnp.linalg.norm(dir_cam * zmax[..., None], axis=-1) * one_over_voxel_size
-
-    ray_dir = pt_end - pt_start
-    ray_dir = ray_dir / jnp.maximum(jnp.linalg.norm(ray_dir, axis=-1, keepdims=True), 1e-12)
-
-    del max_steps  # the march terminates naturally: total ≥ ray_len_end
-
-    class _S(NamedTuple):
-        pt: jnp.ndarray  # [H,W,3] current position, voxel units
-        total: jnp.ndarray  # [H,W] marched length
-        sdf: jnp.ndarray  # [H,W] last sdf
-        active: jnp.ndarray  # [H,W] still marching
-
-    def cond(s: _S):
-        return jnp.any(s.active)
-
-    def body(s: _S):
-        # March on UNINTERPOLATED reads only (1 probe/step). The reference
-        # also trilinearly re-reads inside the −0.5..0.1 band every step
-        # (castRay:135-138) — 9 probes/step; on TPU both predicated branches
-        # execute, so we drop the in-loop interpolation and recover the
-        # accuracy in the post-loop trilinear secant refinement instead.
-        sdf, found = read_sdf_uninterpolated(read, s.pt)
-
-        hit = found & (sdf <= 0.0)
-        # Through unallocated space, step to the EXIT of the current block
-        # (DDA) instead of the reference's blind 8-voxel jump
-        # (ITMVisualisationEngine.h:131 `stepLength = SDF_BLOCK_SIZE`), which
-        # can clear the whole ±mu shell and lose the ray — a known InfiniTAM
-        # hole artifact. The DDA clamp never skips an allocated block and
-        # costs the same number of steps.
-        blk = jnp.floor(s.pt / block_size)
-        nxt_bound = (blk + (ray_dir > 0)) * block_size
-        safe_dir = jnp.where(jnp.abs(ray_dir) < 1e-9, 1e-9, ray_dir)
-        t_axis = (nxt_bound - s.pt) / safe_dir
-        t_exit = jnp.min(jnp.where(jnp.abs(ray_dir) < 1e-9, 1e9, t_axis), axis=-1)
-        empty_step = jnp.clip(t_exit + 0.01, 0.5, float(block_size))
-        step = jnp.where(found, jnp.maximum(sdf * step_scale, 1.0), empty_step)
-
-        advance = s.active & ~hit
-        new_pt = jnp.where(advance[..., None], s.pt + step[..., None] * ray_dir, s.pt)
-        new_total = jnp.where(advance, s.total + step, s.total)
-        new_active = advance & (new_total < ray_len_end)
-        new_sdf = jnp.where(s.active, sdf, s.sdf)
-        return _S(pt=new_pt, total=new_total, sdf=new_sdf, active=new_active)
-
-    init = _S(
-        pt=pt_start,
-        total=ray_len_start,
-        sdf=jnp.ones((H, W), dtype=jnp.float32),
-        active=jnp.ones((H, W), dtype=bool),
-    )
-    final = jax.lax.while_loop(cond, body, init)
-
-    found_surface = final.sdf <= 0.0
-    # secant refinement with trilinear reads (reference: castRay tail; one
-    # extra interpolated step compensates for the uninterpolated march)
-    pt = final.pt + (final.sdf * step_scale)[..., None] * ray_dir
-    sdf_refined, _ = read_sdf_interpolated(read, pt)
-    pt = pt + (sdf_refined * step_scale)[..., None] * ray_dir
-    sdf_refined2, _ = read_sdf_interpolated(read, pt)
-    pt = pt + (sdf_refined2 * step_scale)[..., None] * ray_dir
-
-    points = jnp.concatenate(
-        [
-            jnp.where(found_surface[..., None], pt, final.pt),
-            jnp.where(found_surface, 1.0, 0.0)[..., None],
-        ],
-        axis=-1,
+    points = raycast_rays(
+        read, pt_start, ray_dir, len_start, len_end, mu * one_over_voxel_size, block_size
     )
     return RaycastResult(points=points)
+
+
+def refine_ranges_from_coarse(
+    points_coarse: jnp.ndarray,  # [Hc, Wc, 4] coarse raycast (voxel units)
+    M: jnp.ndarray,  # world→camera
+    voxel_size: float,
+    img_size: Tuple[int, int],
+    factor: int,
+    margin_m: float,
+    zmin0: jnp.ndarray,
+    zmax0: jnp.ndarray,
+):
+    """Tighten per-pixel raycast ranges from a coarse-pass depth (TPU-native
+    hierarchical raycast — no reference analogue; CUDA per-thread early exit
+    makes stragglers cheap there, while the lock-step march here pays for the
+    slowest ray, so bounding the march is the big lever).
+
+    Full-res ranges become [min3×3(z_coarse)−margin, max3×3(z_coarse)+margin];
+    pixels whose coarse 3×3 neighbourhood contains a miss fall back to the
+    original conservative ranges (silhouette safety)."""
+    H, W = img_size
+    Hc, Wc = points_coarse.shape[:2]
+    found = points_coarse[..., 3] > 0
+    pw = points_coarse[..., :3] * voxel_size
+    z = jnp.einsum("ij,hwj->hwi", M[:3, :3], pw)[..., 2] + M[2, 3]
+    z = jnp.where(found, z, 0.0)
+
+    big = 1e9
+    zmin_n = jnp.full((Hc, Wc), big, dtype=jnp.float32)
+    zmax_n = jnp.full((Hc, Wc), -big, dtype=jnp.float32)
+    all_found = jnp.ones((Hc, Wc), dtype=bool)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            zs = jnp.roll(z, (dy, dx), axis=(0, 1))
+            fs = jnp.roll(found, (dy, dx), axis=(0, 1))
+            zmin_n = jnp.minimum(zmin_n, jnp.where(fs, zs, big))
+            zmax_n = jnp.maximum(zmax_n, jnp.where(fs, zs, -big))
+            all_found &= fs
+
+    rows = jnp.clip(jnp.arange(H) // factor, 0, Hc - 1)
+    cols = jnp.clip(jnp.arange(W) // factor, 0, Wc - 1)
+    up = lambda a: a[rows][:, cols]
+    ok = up(all_found)
+    zmin = jnp.where(ok, jnp.maximum(up(zmin_n) - margin_m, zmin0), zmin0)
+    zmax = jnp.where(ok, jnp.minimum(up(zmax_n) + margin_m, zmax0), zmax0)
+    return zmin, zmax
 
 
 def compute_normals_image_space(
@@ -246,6 +367,65 @@ def render_color(raycast: RaycastResult, read_color) -> jnp.ndarray:
     valid = raycast.points[..., 3] > 0
     img = jnp.where(valid[..., None], rgb * 255.0, 0.0)
     return jnp.clip(img, 0, 255).astype(jnp.uint8)
+
+
+def forward_render(
+    read: ReadFn,
+    prev_points_map_m: jnp.ndarray,  # [H,W,4] previous raycast, metres, w>0 valid
+    M: jnp.ndarray,  # world→camera, NEW pose
+    proj: jnp.ndarray,
+    img_size: Tuple[int, int],
+    one_over_voxel_size: float,
+    mu: float,
+    zmin: jnp.ndarray,
+    zmax: jnp.ndarray,
+    block_size: int = 8,
+    missing_cap_fraction: int = 4,
+) -> RaycastResult:
+    """Incremental raycast (reference: ForwardRender_common,
+    ITMVisualisationEngine_CUDA.cu:314-380): scatter the previous raycast
+    into the new view, then raycast ONLY the missing pixels.
+
+    TPU-native: the missing set is compacted with nonzero(size=H·W/cap) into
+    a dense ray bundle (the analogue of findMissingPoints_device's prefix-sum
+    compaction) so the march costs a fraction of a full raycast; overflow
+    pixels beyond the cap stay holes until the next full raycast.
+    """
+    H, W = img_size
+    fwd = forward_project(prev_points_map_m, M, proj, img_size, one_over_voxel_size)
+
+    # missing: not forward-projected but the expected-depth range is non-empty
+    # (reference: findMissingPoints_device checks minmaximg x < y)
+    missing = (fwd[..., 3] <= 0) & (zmax > zmin)
+    cap = (H * W) // missing_cap_fraction
+    idx = jnp.nonzero(missing.reshape(-1), size=cap, fill_value=-1)[0]
+    valid = idx >= 0
+    idx_c = jnp.clip(idx, 0, H * W - 1)
+
+    inv_M = se3_invert(M)
+    pt_start, ray_dir, len_start, len_end = pixel_rays(
+        inv_M, proj, img_size, one_over_voxel_size, zmin, zmax
+    )
+    flat = lambda a: a.reshape(-1, a.shape[-1]) if a.ndim == 3 else a.reshape(-1)
+    pts = raycast_rays(
+        read,
+        flat(pt_start)[idx_c],
+        flat(ray_dir)[idx_c],
+        flat(len_start)[idx_c],
+        flat(len_end)[idx_c],
+        mu * one_over_voxel_size,
+        block_size,
+        active_init=valid,
+    )
+    out = fwd.reshape(-1, 4)
+    out = out.at[jnp.where(valid, idx_c, H * W)].set(pts, mode="drop")
+    return RaycastResult(points=out.reshape(H, W, 4))
+
+
+def se3_invert(M: jnp.ndarray) -> jnp.ndarray:
+    from infinitam_tpu.utils import se3 as _se3
+
+    return _se3.invert(M)
 
 
 def forward_project(

@@ -152,6 +152,19 @@ class Settings:
     # Raycast expected-depth subsampling (reference minmaximg_subsample=8,
     # DeviceAgnostic/ITMVisualisationEngine.h:24).
     minmax_subsample: int = 8
+    # Static cap on blocks fused per frame (TPU shapes are static; blocks
+    # beyond the cap keep their values and fuse on a later frame — same
+    # graceful degradation as the reference's fixed SDF_LOCAL_BLOCK_NUM).
+    # 0 → process the whole visible list.
+    max_fused_blocks: int = 8192
+    # Per-block depth-image window size for fusion taps (the TPU-native
+    # replacement of per-voxel random image gathers: one contiguous PxP
+    # window DMA per block, then window-local taps — gathers with local
+    # indices vectorize on TPU, dispersed ones do not). A block at distance
+    # z projects to ~(block_m * fx / z) px; 64 covers z >= ~0.7 m at 640x480
+    # defaults; voxels projecting outside their block's window are skipped
+    # that frame.
+    integrate_patch: int = 64
 
     def replace(self, **kw) -> "Settings":
         return dataclasses.replace(self, **kw)

@@ -60,38 +60,40 @@ def main():
         )
     jax.block_until_ready(state.pose)
 
+    est_poses = [state.pose]  # device arrays; converted only after the clock stops
     t0 = time.perf_counter()
     for depth, _rgb, _gt in frames[2:]:
         vol, rs, state, diag = hp.process_frame_hash(
             vol, rs, state, View(depth=depth), proj, settings
         )
+        est_poses.append(state.pose)
     jax.block_until_ready(state.pose)
     dt = time.perf_counter() - t0
     fps = (n_frames - 2) / dt
 
-    # sanity: tracking must not have diverged (ATE proxy on the final frame)
-    err = se3.se3_log(state.pose @ se3.invert(jnp.asarray(frames[-1][2])))
-    t_err = float(jnp.linalg.norm(err[:3]))
-    if not (t_err < 0.05):
-        print(
-            json.dumps(
-                {
-                    "metric": "fused+tracked 640x480 frames/s/chip (DIVERGED)",
-                    "value": 0.0,
-                    "unit": "frames/s",
-                    "vs_baseline": 0.0,
-                }
-            )
-        )
-        return
+    # Accuracy gate: full-trajectory ATE-RMSE vs ground truth at the 1 cm bar
+    # (BASELINE.md: "ATE within 1 cm of reference trajectory"; the synthetic
+    # sequence's exact ground truth stands in for the reference trajectory —
+    # the reference repo ships no Teddy frames to replay).
+    import numpy as np
 
+    errs = []
+    for est, (_d, _r, gt) in zip(est_poses, frames[1:]):
+        c_est = np.asarray(se3.invert(est))[:3, 3]
+        c_gt = np.asarray(se3.invert(jnp.asarray(gt)))[:3, 3]
+        errs.append(np.sum((c_est - c_gt) ** 2))
+    ate_rmse = float(np.sqrt(np.mean(errs)))
+
+    diverged = not (ate_rmse < 0.01)
     print(
         json.dumps(
             {
-                "metric": "fused+tracked 640x480 frames/s/chip",
-                "value": round(fps, 2),
+                "metric": "fused+tracked 640x480 frames/s/chip"
+                + (" (ATE>1cm: FAILED)" if diverged else ""),
+                "value": 0.0 if diverged else round(fps, 2),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / 100.0, 3),
+                "vs_baseline": 0.0 if diverged else round(fps / 100.0, 3),
+                "ate_rmse_m": round(ate_rmse, 5),
             }
         )
     )

@@ -99,15 +99,13 @@ class TrackingParams:
     ITMDepthTracker.cpp:19-28)."""
 
     n_levels: int = 5
-    # Gauss-Newton iterations per level, coarse→fine
-    # (reference: ITMDepthTracker.cpp:19-23 — {10, 8, 6, 4, 2} coarse-first).
+    # Gauss-Newton iterations per level, index 0 = finest (reference:
+    # ITMDepthTracker.cpp:19-23 hardcodes 2, +2 per coarser level; here it is
+    # a parameter, default equal to the reference).
     iterations_per_level: Tuple[int, ...] = (2, 4, 6, 8, 10)  # fine→coarse order
-    # ICP outlier distance threshold, metres^2, per level fine→coarse
-    # (reference: ITMDepthTracker.cpp:25-28 ramps distThresh by +0.005f^2? —
-    # base depth_tracking_icp_threshold = 0.1m squared at the finest level).
+    # ICP outlier distance gate at the COARSEST level, metres² (reference:
+    # ITMDepthTracker.cpp:25-28 — each finer level subtracts distThresh/n).
     dist_thresh: float = 0.1 * 0.1
-    # Per-level threshold ramp (reference: ITMDepthTracker.cpp:25-28).
-    dist_thresh_ramp: float = 0.0
     termination_threshold: float = 1e-3
     # Coarse levels optimize rotation only when True (reference:
     # ITMLibSettings.cpp:36-47 trackingRegime: both at fine levels, rotation
@@ -116,6 +114,11 @@ class TrackingParams:
     # Minimum valid points for a usable system (reference:
     # ITMDepthTracker_CUDA.cu:105 gates noValidPoints>100).
     min_valid_points: int = 100
+    # Divergence policy (SURVEY.md §5 failure detection — no reference
+    # analogue, the reference fuses even a diverged pose): when the tracker's
+    # final energy exceeds this (ops/icp.py sets f=1e5 when N≤min_valid), the
+    # frame keeps the last good pose and skips fusion. <=0 disables.
+    divergence_f_threshold: float = 1e4
     # Run ICP only down to this level (reference noICPRunTillLevel=0).
     no_icp_run_till_level: int = 0
     # Color tracker (reference: ITMColorTracker.cpp): LM trust region.
@@ -155,16 +158,9 @@ class Settings:
     # Static cap on blocks fused per frame (TPU shapes are static; blocks
     # beyond the cap keep their values and fuse on a later frame — same
     # graceful degradation as the reference's fixed SDF_LOCAL_BLOCK_NUM).
-    # 0 → process the whole visible list.
+    # 0 → process the whole visible list. Wired in
+    # hash_pipeline.integrate_into_scene and the Pallas integrate kernel.
     max_fused_blocks: int = 8192
-    # Per-block depth-image window size for fusion taps (the TPU-native
-    # replacement of per-voxel random image gathers: one contiguous PxP
-    # window DMA per block, then window-local taps — gathers with local
-    # indices vectorize on TPU, dispersed ones do not). A block at distance
-    # z projects to ~(block_m * fx / z) px; 64 covers z >= ~0.7 m at 640x480
-    # defaults; voxels projecting outside their block's window are skipped
-    # that frame.
-    integrate_patch: int = 64
 
     def replace(self, **kw) -> "Settings":
         return dataclasses.replace(self, **kw)

@@ -51,10 +51,12 @@ def allocate_scene_from_depth(
     proj: jnp.ndarray,
     settings: Settings,
     only_update_visible: bool = False,
+    enable: jnp.ndarray | bool = True,
 ) -> Tuple[HashVolume, RenderStateVH]:
     """AllocateSceneFromDepth (reference: _CUDA.cu:89-170): demote last
     frame's visibles → plan from the depth band → allocate → rebuild the
-    compacted visible list."""
+    compacted visible list. `enable=False` (dynamic) suppresses new
+    allocations (divergence policy) while still refreshing visibility."""
     hp = settings.hashing
     sp = settings.scene
     img_size = depth.shape
@@ -82,7 +84,7 @@ def allocate_scene_from_depth(
         sp.view_frustum_max,
     )
     cand = blocks.reshape(-1, 3)
-    cand_valid = valid.reshape(-1)
+    cand_valid = valid.reshape(-1) & enable
 
     # Round 1: plan + execute over all candidates. The scatter race lets one
     # NEW block win a contended bucket (the reference defers losers to the
@@ -118,9 +120,11 @@ def integrate_into_scene(
     settings: Settings,
     proj_rgb: jnp.ndarray | None = None,
     rgb_to_depth: jnp.ndarray | None = None,
+    enable: jnp.ndarray | bool = True,
 ) -> HashVolume:
     """IntegrateIntoScene (reference: integrateIntoScene_device — grid over
-    visible blocks × 8³ threads): gather → fused TSDF update → scatter."""
+    visible blocks × 8³ threads): gather → fused TSDF update → scatter.
+    `enable=False` (dynamic) makes the update a no-op (divergence policy)."""
     hp = settings.hashing
     sp = settings.scene
     S = hp.block_size
@@ -128,6 +132,13 @@ def integrate_into_scene(
     B = vol.voxel_sdf.shape[0]
 
     ids = render_state.visible_ids  # [V]
+    # Work proportional to visibility: the reference launches
+    # <<<noVisibleEntries, 8³>>> (ITMSceneReconstructionEngine_CUDA.cu:206);
+    # here the static analogue is a cap on the gathered block count. Blocks
+    # beyond the cap (rare; visible counts are far below it) stay unfused
+    # this frame and catch up on a later one.
+    if settings.max_fused_blocks and settings.max_fused_blocks < ids.shape[0]:
+        ids = ids[: settings.max_fused_blocks]
     ids_c = jnp.clip(ids, 0, hp.n_entries - 1)
     ptr = vol.entry_ptr[ids_c]  # [V]
     bpos = vol.entry_pos[ids_c]  # [V, 3]
@@ -173,6 +184,14 @@ def integrate_into_scene(
         proj_rgb=proj_rgb,
         rgb=rgb,
     )
+
+    if enable is not True:
+        keep = jnp.asarray(enable)
+        new_sdf = jnp.where(keep, new_sdf, old_sdf)
+        new_w = jnp.where(keep, new_w, old_w)
+        if with_color:
+            new_clr = jnp.where(keep, new_clr, old_clr)
+            new_wc = jnp.where(keep, new_wc, old_wc)
 
     scatter_idx = jnp.where(valid, ptr_c, B)  # B → dropped
     voxel_sdf = vol.voxel_sdf.at[scatter_idx].set(new_sdf, mode="drop")
@@ -435,7 +454,12 @@ def process_frame_hash(
         tr = track_ren(
             tr_icp.pose, view.depth, proj, _read, settings.scene.voxel_size, settings.tracking
         )
-        tr = tr._replace(num_valid=tr_icp.num_valid, f=tr_icp.f)
+        # report the Ren refinement's OWN energy (a diverging refinement must
+        # be visible in metrics); num_valid keeps the ICP correspondence count
+        # (Ren's point count is not a validity measure). The divergence gate
+        # below uses the ICP pre-step's f, whose 1e5 sentinel scale it knows.
+        gate_f = tr_icp.f
+        tr = tr._replace(num_valid=tr_icp.num_valid)
     elif tt == TrackerType.WICP:
         tr = track_depth(
             state.pose,
@@ -458,16 +482,27 @@ def process_frame_hash(
             settings.tracking,
         )
     have_maps = state.age >= 0
-    pose = jnp.where(have_maps, tr.pose, state.pose)
+    # Divergence policy (SURVEY.md §5; the gate the reference computes but
+    # never consumes — noValidPoints>100, ITMDepthTracker_CUDA.cu:105): a
+    # frame whose tracking energy spiked keeps the LAST GOOD pose and is not
+    # fused into the map.
+    if tt != TrackerType.REN:
+        gate_f = tr.f
+    dvt = settings.tracking.divergence_f_threshold
+    track_bad = (gate_f >= dvt) & have_maps if dvt > 0 else jnp.array(False)
+    pose = jnp.where(have_maps & ~track_bad, tr.pose, state.pose)
+    fuse_enable = ~track_bad
 
     vol, render_state = allocate_scene_from_depth(
         vol, render_state, view.depth, pose, proj, settings,
         only_update_visible=not fusion_active,
+        enable=fuse_enable,
     )
     if fusion_active:
         vol = integrate_into_scene(
             vol, render_state, view, pose, proj, settings,
             proj_rgb=proj_rgb, rgb_to_depth=rgb_to_depth,
+            enable=fuse_enable,
         )
 
     if tt == TrackerType.COLOR:

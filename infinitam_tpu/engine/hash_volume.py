@@ -173,6 +173,44 @@ def make_hash_reader(vol: HashVolume, params: VoxelBlockHashParams):
     return read
 
 
+def make_hash_weight_reader(vol: HashVolume, params: VoxelBlockHashParams):
+    """`(int voxel pts) -> (w_depth, found)` — fusion-confidence lookups for
+    the reference's WeightToUchar4 display path."""
+    S = params.block_size
+
+    def read(pts_int: jnp.ndarray):
+        block, linear = point_to_block(pts_int, S)
+        pr = probe(vol, block, params, include_swapped=False)
+        blk = jnp.where(pr.found, pr.entry_ptr, 0)
+        w = vol.voxel_w[blk, linear].astype(jnp.float32)
+        return jnp.where(pr.found, w, 0.0), pr.found
+
+    return read
+
+
+def make_grid_weight_reader(vol: HashVolume, grid: jnp.ndarray, grid_params, params: VoxelBlockHashParams):
+    """Grid-accelerated variant of make_hash_weight_reader."""
+    S = params.block_size
+    gx, gy, gz = grid_params.dims
+    origin = jnp.array(grid_params.origin, dtype=jnp.int32)
+
+    def read(pts_int: jnp.ndarray):
+        block, linear = point_to_block(pts_int, S)
+        g = block - origin
+        inb = (
+            (g[..., 0] >= 0) & (g[..., 0] < gx)
+            & (g[..., 1] >= 0) & (g[..., 1] < gy)
+            & (g[..., 2] >= 0) & (g[..., 2] < gz)
+        )
+        gc = jnp.clip(g, 0, jnp.array([gx - 1, gy - 1, gz - 1], dtype=jnp.int32))
+        ptr = grid[gc[..., 0], gc[..., 1], gc[..., 2]]
+        found = inb & (ptr >= 0)
+        w = vol.voxel_w[jnp.where(found, ptr, 0), linear].astype(jnp.float32)
+        return jnp.where(found, w, 0.0), found
+
+    return read
+
+
 def make_hash_color_reader(vol: HashVolume, params: VoxelBlockHashParams):
     S = params.block_size
 

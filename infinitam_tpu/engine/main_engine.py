@@ -225,12 +225,20 @@ class MainEngine:
         trackingState->pose_d directly)."""
         self.tracking_state = self.tracking_state._replace(pose=jnp.asarray(pose))
 
-    def get_image(self, which: str = "raycast", pose=None, proj=None) -> np.ndarray:
-        """Render a view (reference GetImage types): 'raycast' (grey shaded
-        from the current pose), 'normals', 'colour', or freeview variants by
-        passing an explicit pose."""
+    def get_image(self, which: str = "raycast", pose=None, proj=None, view=None) -> np.ndarray:
+        """Render a view (reference GetImage types, ITMMainEngine.cpp:134-192):
+        'raycast' (grey shaded from the current pose), 'normals', 'colour',
+        'depth' (rainbow colormap of the raycast depth — the reference's
+        ORIGINAL_DEPTH type when given `view`, else scene depth), 'weight'
+        (fusion-confidence colormap), or freeview variants by passing an
+        explicit pose."""
+        from infinitam_tpu.ops import colormaps as cm
+
         pose = self.tracking_state.pose if pose is None else jnp.asarray(pose)
         proj = self.proj if proj is None else jnp.asarray(proj)
+        if which == "depth" and view is not None:
+            # reference InfiniTAM_IMAGE_ORIGINAL_DEPTH: colormap the input
+            return np.asarray(cm.depth_to_uchar4(jnp.asarray(view)))
         res = hp.raycast_hash(
             self.vol, self.render_state, pose, proj, self.img_size, self.settings
         )
@@ -240,6 +248,25 @@ class MainEngine:
         if which == "colour":
             reader = hv.make_hash_color_reader(self.vol, self.settings.hashing)
             return np.asarray(rc.render_color(res, reader))
+        if which == "depth":
+            # z-depth of the raycast surface in the camera frame
+            found = res.points[..., 3] > 0
+            pw = res.points[..., :3] * self.settings.scene.voxel_size
+            z = jnp.einsum("ij,hwj->hwi", pose[:3, :3], pw)[..., 2] + pose[2, 3]
+            return np.asarray(cm.depth_to_uchar4(jnp.where(found, z, -1.0)))
+        if which == "weight":
+            # fusion weight at the raycast surface (reference WeightToUchar4)
+            from infinitam_tpu.ops.voxel_access import read_sdf_uninterpolated
+
+            if self.settings.use_block_grid:
+                grid = hv.build_block_grid(self.vol, self.settings.block_grid, self.settings.hashing)
+                read_w = hv.make_grid_weight_reader(self.vol, grid, self.settings.block_grid, self.settings.hashing)
+            else:
+                read_w = hv.make_hash_weight_reader(self.vol, self.settings.hashing)
+            ipts = jnp.floor(res.points[..., :3] + 0.5).astype(jnp.int32)
+            w, _ = read_w(ipts)
+            found = res.points[..., 3] > 0
+            return np.asarray(cm.weight_to_uchar4(jnp.where(found, w, 0.0)))
         return np.asarray(rc.render_grey(res, self.settings.scene.voxel_size, inv))
 
     def update_mesh(self):

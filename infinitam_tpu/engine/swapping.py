@@ -34,12 +34,16 @@ from infinitam_tpu.engine.hash_volume import HashVolume, RenderStateVH
 
 @dataclasses.dataclass
 class GlobalCache:
-    """Host-side store of all addressable blocks (reference: ITMGlobalCache).
-    Indexed by hash-entry id like the reference."""
+    """Host-side store of all addressable blocks (reference: ITMGlobalCache —
+    which stores WHOLE TVoxels, i.e. color planes too when the voxel type has
+    them, ITMGlobalCache.h:18-40). Indexed by hash-entry id like the
+    reference."""
 
     stored_sdf: np.ndarray  # [E, S³] float32
     stored_w: np.ndarray  # [E, S³] int32
     has_stored: np.ndarray  # [E] bool
+    stored_clr: Optional[np.ndarray] = None  # [E, S³, 3] float32 (use_color)
+    stored_wc: Optional[np.ndarray] = None  # [E, S³] int32
 
     @classmethod
     def create(cls, settings: Settings) -> "GlobalCache":
@@ -49,18 +53,27 @@ class GlobalCache:
             stored_sdf=np.ones((E, S3), dtype=np.float32),
             stored_w=np.zeros((E, S3), dtype=np.int32),
             has_stored=np.zeros((E,), dtype=bool),
+            stored_clr=np.zeros((E, S3, 3), dtype=np.float32) if settings.use_color else None,
+            stored_wc=np.zeros((E, S3), dtype=np.int32) if settings.use_color else None,
         )
 
     def save(self, path: str) -> None:
         """reference: ITMGlobalCache::SaveToFile."""
+        extra = {}
+        if self.stored_clr is not None:
+            extra = {"clr": self.stored_clr, "wc": self.stored_wc}
         np.savez_compressed(
-            path, sdf=self.stored_sdf, w=self.stored_w, has=self.has_stored
+            path, sdf=self.stored_sdf, w=self.stored_w, has=self.has_stored, **extra
         )
 
     @classmethod
     def load(cls, path: str) -> "GlobalCache":
         z = np.load(path)
-        return cls(stored_sdf=z["sdf"], stored_w=z["w"], has_stored=z["has"])
+        return cls(
+            stored_sdf=z["sdf"], stored_w=z["w"], has_stored=z["has"],
+            stored_clr=z["clr"] if "clr" in z else None,
+            stored_wc=z["wc"] if "wc" in z else None,
+        )
 
 
 def create_swap_states(settings: Settings) -> jnp.ndarray:
@@ -84,10 +97,14 @@ def merge_swapped_in(
     buf_w: jnp.ndarray,
     has_data: jnp.ndarray,  # [cap] bool
     settings: Settings,
+    buf_clr: Optional[jnp.ndarray] = None,  # [cap, S³, 3]
+    buf_wc: Optional[jnp.ndarray] = None,  # [cap, S³]
 ) -> Tuple[HashVolume, jnp.ndarray]:
-    """reference: integrateOldIntoActiveData_device + combineVoxel* — fold the
-    streamed-in running averages into the live blocks; state→2 for every
-    needed entry (even without stored data, matching the reference)."""
+    """reference: integrateOldIntoActiveData_device + combineVoxel*
+    (DeviceAgnostic/ITMSwappingEngine.h:7-63) — fold the streamed-in running
+    averages into the live blocks (depth AND color when the voxel has color);
+    state→2 for every needed entry (even without stored data, matching the
+    reference)."""
     hp = settings.hashing
     E = hp.n_entries
     B = vol.voxel_sdf.shape[0]
@@ -103,6 +120,8 @@ def merge_swapped_in(
     src_w = buf_w
     src_sdf = buf_sdf
 
+    # combineVoxelDepthInformation: if oldW (host) == 0 keep device voxel;
+    # newF = (oldW·oldF + newW·newF)/(oldW+newW); newW capped at maxW.
     merged_w_raw = dst_w + src_w
     merged_sdf = (src_w * src_sdf + dst_w * dst_sdf) / jnp.maximum(merged_w_raw, 1)
     merged_w = jnp.minimum(merged_w_raw, max_w)
@@ -113,10 +132,26 @@ def merge_swapped_in(
     scatter_idx = jnp.where(valid, ptr_c, B)
     voxel_sdf = vol.voxel_sdf.at[scatter_idx].set(out_sdf, mode="drop")
     voxel_w = vol.voxel_w.at[scatter_idx].set(out_w, mode="drop")
+    clr, wc = vol.clr, vol.w_color
+    if vol.clr is not None and buf_clr is not None:
+        # combineVoxelColorInformation: same running average on (clr, w_color)
+        dst_clr = vol.clr[ptr_c]
+        dst_wc = vol.w_color[ptr_c]
+        src_wc = buf_wc
+        merged_wc_raw = dst_wc + src_wc
+        merged_clr = (
+            src_wc[..., None] * buf_clr + dst_wc[..., None] * dst_clr
+        ) / jnp.maximum(merged_wc_raw, 1)[..., None]
+        merged_wc = jnp.minimum(merged_wc_raw, max_w)
+        use_c = (src_wc > 0) & valid[:, None]
+        out_clr = jnp.where(use_c[..., None], merged_clr, dst_clr)
+        out_wc = jnp.where(use_c, merged_wc, dst_wc)
+        clr = vol.clr.at[scatter_idx].set(out_clr, mode="drop")
+        wc = vol.w_color.at[scatter_idx].set(out_wc, mode="drop")
 
     sidx = jnp.where(needed_ids >= 0, ids_c, E)
     swap_states = swap_states.at[sidx].set(2, mode="drop")
-    return vol._replace(voxel_sdf=voxel_sdf, voxel_w=voxel_w), swap_states
+    return vol._replace(voxel_sdf=voxel_sdf, voxel_w=voxel_w, clr=clr, w_color=wc), swap_states
 
 
 @partial(jax.jit, static_argnames=("settings",))
@@ -131,7 +166,8 @@ def evict_blocks(
     copy their blocks out, reset them to empty, return blocks to the free
     list, ptr→−1 (swapped out), state→0.
 
-    Returns (vol, swap_states, evicted_ids, buf_sdf, buf_w, n)."""
+    Returns (vol, swap_states, evicted_ids, buf_sdf, buf_w, buf_clr, buf_wc, n)
+    — color buffers are None when the volume has no color planes."""
     hp = settings.hashing
     E = hp.n_entries
     B = vol.voxel_sdf.shape[0]
@@ -148,12 +184,20 @@ def evict_blocks(
     buf_sdf = vol.voxel_sdf[ptr_c]
     buf_w = vol.voxel_w[ptr_c]
 
-    # clear evicted blocks (reference clears to TVoxel() = sdf 1, w 0)
+    # clear evicted blocks (reference clears to TVoxel() = sdf 1, w 0,
+    # clr 0, w_color 0)
     scatter_idx = jnp.where(valid, ptr_c, B)
     voxel_sdf = vol.voxel_sdf.at[scatter_idx].set(
         jnp.ones_like(buf_sdf), mode="drop"
     )
     voxel_w = vol.voxel_w.at[scatter_idx].set(jnp.zeros_like(buf_w), mode="drop")
+    buf_clr = buf_wc = None
+    clr, wc = vol.clr, vol.w_color
+    if vol.clr is not None:
+        buf_clr = vol.clr[ptr_c]
+        buf_wc = vol.w_color[ptr_c]
+        clr = vol.clr.at[scatter_idx].set(jnp.zeros_like(buf_clr), mode="drop")
+        wc = vol.w_color.at[scatter_idx].set(jnp.zeros_like(buf_wc), mode="drop")
 
     # push blocks back on the free stack
     k = jnp.cumsum(valid.astype(jnp.int32)) - 1  # rank among evicted
@@ -171,11 +215,13 @@ def evict_blocks(
     new_vol = vol._replace(
         voxel_sdf=voxel_sdf,
         voxel_w=voxel_w,
+        clr=clr,
+        w_color=wc,
         alloc_list=alloc_list,
         last_free_block=vol.last_free_block + n_freed,
         entry_ptr=entry_ptr,
     )
-    return new_vol, swap_states, ids, buf_sdf, buf_w, n
+    return new_vol, swap_states, ids, buf_sdf, buf_w, buf_clr, buf_wc, n
 
 
 def swap_in(
@@ -193,6 +239,10 @@ def swap_in(
     has = cache.has_stored[sel] & (ids_np >= 0)
     buf_sdf = cache.stored_sdf[sel]
     buf_w = np.where(has[:, None], cache.stored_w[sel], 0)
+    buf_clr = buf_wc = None
+    if vol.clr is not None and cache.stored_clr is not None:
+        buf_clr = jnp.asarray(cache.stored_clr[sel])
+        buf_wc = jnp.asarray(np.where(has[:, None], cache.stored_wc[sel], 0))
     vol, swap_states = merge_swapped_in(
         vol,
         swap_states,
@@ -201,6 +251,8 @@ def swap_in(
         jnp.asarray(buf_w),
         jnp.asarray(has),
         settings,
+        buf_clr=buf_clr,
+        buf_wc=buf_wc,
     )
     return vol, swap_states
 
@@ -214,7 +266,7 @@ def swap_out(
 ) -> Tuple[HashVolume, jnp.ndarray]:
     """SaveToGlobalMemory: evict invisible device-newest blocks to the host
     store."""
-    vol, swap_states, ids, buf_sdf, buf_w, n = evict_blocks(
+    vol, swap_states, ids, buf_sdf, buf_w, buf_clr, buf_wc, n = evict_blocks(
         vol, swap_states, render_state.visible_type, settings
     )
     n = int(n)
@@ -222,6 +274,9 @@ def swap_out(
         ids_np = np.asarray(ids[:n])
         cache.stored_sdf[ids_np] = np.asarray(buf_sdf[:n])
         cache.stored_w[ids_np] = np.asarray(buf_w[:n])
+        if buf_clr is not None and cache.stored_clr is not None:
+            cache.stored_clr[ids_np] = np.asarray(buf_clr[:n])
+            cache.stored_wc[ids_np] = np.asarray(buf_wc[:n])
         cache.has_stored[ids_np] = True
     return vol, swap_states
 

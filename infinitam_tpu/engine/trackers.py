@@ -69,8 +69,13 @@ def level_dist_thresh(params: TrackingParams) -> List[float]:
 
 
 def level_iterations(params: TrackingParams) -> List[int]:
-    """Iterations per level, index 0 = finest (reference: 2, +2 per coarser)."""
-    return [2 + 2 * lvl for lvl in range(params.n_levels)]
+    """Iterations per level, index 0 = finest, from config (reference
+    hardcodes 2, +2 per coarser level — ITMDepthTracker.cpp:19-23; the config
+    default matches). Missing entries extend by +2 like the reference."""
+    out = list(params.iterations_per_level[: params.n_levels])
+    while len(out) < params.n_levels:
+        out.append((out[-1] if out else 0) + 2)
+    return out
 
 
 def scale_proj(proj: jnp.ndarray, level: int) -> jnp.ndarray:

@@ -4,8 +4,9 @@ TPU-native design: instead of one divergent while-loop per CUDA thread
 (reference: DeviceAgnostic/ITMVisualisationEngine.h:92-158 castRay), the whole
 image marches in lock-step inside a single `lax.while_loop` whose state is the
 full [H, W] ray front; finished rays are masked out. Random-access voxel
-gathers remain, but every step is a dense vectorized program XLA can schedule.
-A Pallas kernel variant lives in ops/pallas/raycast_pallas.py.
+gathers remain, so this path is the CPU-testable ORACLE; the TPU flagship
+raycast is the tile-paged Pallas kernel in ops/pallas_raycast.py (see
+PERF_NOTES.md for why XLA gathers cannot be made fast here).
 
 Map synthesis (points/normals/shading) reference:
 DeviceAgnostic/ITMVisualisationEngine.h:160-409 (computeNormalAndAngle image-

@@ -125,3 +125,43 @@ def test_dense_and_hash_agree():
         vol_d, st_d, _ = dp.process_frame_dense(vol_d, st_d, view, PROJ, dense_settings)
     delta = se3.se3_log(st_h.pose @ se3.invert(st_d.pose))
     assert float(jnp.linalg.norm(delta[:3])) < 0.005
+
+
+def test_divergence_keeps_last_good_pose_and_map():
+    """Failure-detection policy (SURVEY.md §5): a garbage frame (all-invalid
+    depth -> tracker f=1e5 sentinel) must not move the pose or corrupt the
+    volume, and the next good frame must continue tracking."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from infinitam_tpu.calib import default_calib
+    from infinitam_tpu.engine import hash_pipeline as hp
+    from infinitam_tpu.engine.view_builder import View
+    from infinitam_tpu.io import synth
+
+    S = hash_settings()
+    img = (60, 80)
+    calib = default_calib(img[1], img[0])
+    proj = jnp.asarray(calib.intrinsics_d.vector)
+    src = synth.SyntheticSource(calib, n_frames=4, img_size=img)
+    vol, rs, state = hp.create_engine_state(S, img)
+
+    for _ in range(2):
+        depth, _rgb, gt = src.get_images()
+        vol, rs, state, diag = hp.process_frame_hash(vol, rs, state, View(depth=depth), proj, S)
+
+    pose_before = np.asarray(state.pose)
+    sdf_sum_before = float(jnp.sum(jnp.abs(vol.voxel_sdf - 1.0)))
+
+    garbage = jnp.full(img, -1.0, dtype=jnp.float32)  # no valid depth at all
+    vol, rs, state, diag = hp.process_frame_hash(vol, rs, state, View(depth=garbage), proj, S)
+    assert float(diag.f) >= S.tracking.divergence_f_threshold
+    np.testing.assert_allclose(np.asarray(state.pose), pose_before, atol=1e-7)
+    sdf_sum_after = float(jnp.sum(jnp.abs(vol.voxel_sdf - 1.0)))
+    np.testing.assert_allclose(sdf_sum_after, sdf_sum_before, rtol=1e-6)
+
+    depth, _rgb, gt = src.get_images()
+    vol, rs, state, diag = hp.process_frame_hash(vol, rs, state, View(depth=depth), proj, S)
+    from infinitam_tpu.utils import se3
+    err = se3.se3_log(state.pose @ se3.invert(jnp.asarray(gt)))
+    assert float(jnp.linalg.norm(err[:3])) < 0.05

@@ -83,3 +83,34 @@ def test_imu_calibrator_axis_convention():
     out = imu_mod.apply_imu_prior(pose, d)
     assert np.allclose(out[:3, :3], d)
     assert np.allclose(out[:3, 3], pose[:3, 3])  # translation untouched
+
+
+def test_get_image_colormap_types():
+    """MainEngine.get_image 'depth' and 'weight' types (reference:
+    ITMMainEngine.cpp:140-151 ORIGINAL_DEPTH + ITMVisualisationEngine.cpp
+    DepthToUchar4/WeightToUchar4 colormaps)."""
+    import numpy as np
+
+    from infinitam_tpu.calib import default_calib
+    from infinitam_tpu.engine.main_engine import MainEngine
+    from infinitam_tpu.io import synth
+
+    from tests.test_hash_pipeline import hash_settings
+
+    S = hash_settings()
+    img = (48, 64)
+    calib = default_calib(img[1], img[0])
+    eng = MainEngine(S, calib, img)
+    src = synth.SyntheticSource(calib, n_frames=2, img_size=img)
+    for _ in range(2):
+        d, _r, _g = src.get_images()
+        eng.process_frame(metric_depth=d)
+
+    im_d = eng.get_image("depth")
+    im_w = eng.get_image("weight")
+    im_in = eng.get_image("depth", view=d)
+    for im in (im_d, im_w, im_in):
+        assert im.shape == (img[0], img[1], 4) and im.dtype == np.uint8
+    assert im_d.max() > 0 and im_w.max() > 0 and im_in.max() > 0
+    # weight image uses red/green channels only (reference WeightToUchar4)
+    assert im_w[..., 2].max() == 0

@@ -113,3 +113,104 @@ def test_e2e_with_swapping_tracks():
     engine.tracking_state = engine.tracking_state._replace(age=jnp.array(-1, jnp.int32))
     engine.process_frame(metric_depth=far_depth)
     assert engine.global_cache.has_stored.sum() > 0, "nothing was evicted"
+
+
+def test_combine_voxel_depth_golden():
+    """Golden test of the swap-in merge against the reference formula
+    (DeviceAgnostic/ITMSwappingEngine.h:7-30 combineVoxelDepthInformation):
+    oldW==0 keeps dst; else newF=(oldW*oldF+newW*newF)/(oldW+newW), w capped."""
+    S = swap_settings()
+    hp_ = S.hashing
+    max_w = S.scene.max_w
+    vol = hv.create_hash(hp_)
+    swap_states = sw.create_swap_states(S)
+
+    # allocate one block; give the device voxels (dst) known values
+    vt = jnp.zeros((hp_.n_entries,), dtype=jnp.int32)
+    cand = jnp.array([[4, 5, 6]], dtype=jnp.int32)
+    plan = hv.plan_allocations(vol, vt, cand, jnp.ones(1, bool), hp_)
+    vol, vt = hv.execute_allocations(vol, plan, hp_)
+    pr = hv.probe(vol, cand[0], hp_)
+    entry_idx = int(pr.entry_idx)
+    blk = int(pr.entry_ptr)
+
+    S3 = hp_.block_volume
+    rng = np.random.RandomState(0)
+    dst_sdf = rng.uniform(-1, 1, S3).astype(np.float32)
+    dst_w = rng.randint(0, 90, S3).astype(np.int32)
+    src_sdf = rng.uniform(-1, 1, S3).astype(np.float32)
+    src_w = rng.randint(0, 90, S3).astype(np.int32)
+    src_w[:37] = 0  # host voxels without data must leave dst untouched
+    vol = vol._replace(
+        voxel_sdf=vol.voxel_sdf.at[blk].set(jnp.asarray(dst_sdf)),
+        voxel_w=vol.voxel_w.at[blk].set(jnp.asarray(dst_w)),
+    )
+
+    cap = hp_.n_transfer_blocks
+    ids = jnp.full((cap,), -1, jnp.int32).at[0].set(entry_idx)
+    buf_sdf = jnp.ones((cap, S3), jnp.float32).at[0].set(jnp.asarray(src_sdf))
+    buf_w = jnp.zeros((cap, S3), jnp.int32).at[0].set(jnp.asarray(src_w))
+    has = jnp.zeros((cap,), bool).at[0].set(True)
+    vol2, swap_states = sw.merge_swapped_in(vol, swap_states, ids, buf_sdf, buf_w, has, S)
+
+    # reference formula, computed scalar-for-scalar
+    want_sdf = dst_sdf.copy()
+    want_w = dst_w.copy()
+    for i in range(S3):
+        oldW, newW = int(src_w[i]), int(dst_w[i])
+        if oldW == 0:
+            continue
+        newF = (oldW * src_sdf[i] + newW * dst_sdf[i]) / (oldW + newW)
+        want_sdf[i] = newF
+        want_w[i] = min(oldW + newW, max_w)
+    np.testing.assert_allclose(np.asarray(vol2.voxel_sdf[blk]), want_sdf, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(vol2.voxel_w[blk]), want_w)
+    assert int(swap_states[entry_idx]) == 2
+
+
+def test_swap_color_roundtrip():
+    """Color planes survive eviction to the host store and merge back
+    (reference ITMGlobalCache stores whole TVoxels incl. clr/w_color;
+    combineVoxelColorInformation, ITMSwappingEngine.h:26-43)."""
+    S = swap_settings()
+    S = S.replace(use_color=True)
+    hp_ = S.hashing
+    vol = hv.create_hash(hp_, with_color=True)
+    cache = sw.GlobalCache.create(S)
+    swap_states = sw.create_swap_states(S)
+    assert cache.stored_clr is not None
+
+    vt = jnp.zeros((hp_.n_entries,), dtype=jnp.int32)
+    cand = jnp.array([[7, 8, 9]], dtype=jnp.int32)
+    plan = hv.plan_allocations(vol, vt, cand, jnp.ones(1, bool), hp_)
+    vol, vt = hv.execute_allocations(vol, plan, hp_)
+    pr = hv.probe(vol, cand[0], hp_)
+    entry_idx = int(pr.entry_idx)
+    blk = int(pr.entry_ptr)
+    vol = vol._replace(
+        voxel_sdf=vol.voxel_sdf.at[blk].set(-0.5),
+        voxel_w=vol.voxel_w.at[blk].set(9),
+        clr=vol.clr.at[blk].set(jnp.array([0.25, 0.5, 0.75])),
+        w_color=vol.w_color.at[blk].set(5),
+    )
+    swap_states = swap_states.at[entry_idx].set(2)
+
+    rs = hv.RenderStateVH(
+        visible_type=jnp.zeros((hp_.n_entries,), jnp.int32),
+        visible_ids=jnp.full((hp_.max_visible_blocks,), -1, jnp.int32),
+        n_visible=jnp.array(0, jnp.int32),
+    )
+    vol, swap_states = sw.swap_out(vol, swap_states, rs, cache, S)
+    np.testing.assert_allclose(cache.stored_clr[entry_idx], np.tile([0.25, 0.5, 0.75], (hp_.block_volume, 1)))
+    assert (cache.stored_wc[entry_idx] == 5).all()
+    # evicted block cleared, color too
+    assert float(jnp.max(jnp.abs(vol.clr[int(pr.entry_ptr)]))) == 0.0
+
+    vt2 = jnp.zeros((hp_.n_entries,), jnp.int32).at[entry_idx].set(hv.VT_VISIBLE_SWAPPED)
+    vol = sw.reallocate_swapped_out(vol, vt2, S)
+    swap_states = sw.mark_visible_for_swap(swap_states, vt2)
+    vol, swap_states = sw.swap_in(vol, swap_states, cache, S)
+    new_blk = int(vol.entry_ptr[entry_idx])
+    np.testing.assert_allclose(np.asarray(vol.clr[new_blk]), np.tile([0.25, 0.5, 0.75], (hp_.block_volume, 1)), atol=1e-6)
+    assert (np.asarray(vol.w_color[new_blk]) == 5).all()
+    np.testing.assert_allclose(np.asarray(vol.voxel_sdf[new_blk]), -0.5, atol=1e-6)

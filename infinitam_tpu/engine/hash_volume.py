@@ -31,6 +31,34 @@ from infinitam_tpu.ops.hashing import hash_index, point_to_block
 FREE_PTR = -2  # empty hash entry
 SWAPPED_PTR = -1  # allocated, streamed out to the host tier
 
+# Quantized voxel storage (reference: ITMVoxel_s_rgb, ITMLibDefines.h:80-106 —
+# sdf as short scaled by 32767, w_depth/w_color as uchar, clr as uchar3).
+# Storage is 3 bytes/voxel (+4 with color) instead of round-1's 8 (+16): the
+# hot phases are gather/scatter-bandwidth-bound and the raycast kernel keeps
+# the active SDF slice VMEM-resident, so the footprint is a first-order lever.
+SDF_SCALE = 32767.0
+SDF_Q_INIT = jnp.int16(32767)  # empty space: sdf = 1.0
+
+
+def sdf_to_q(f: jnp.ndarray) -> jnp.ndarray:
+    """float sdf in [-1,1] → int16 (reference SDF_floatToValue; rounded
+    rather than C-truncated — ≤1 LSB difference, strictly less bias)."""
+    return jnp.round(jnp.clip(f, -1.0, 1.0) * SDF_SCALE).astype(jnp.int16)
+
+
+def sdf_from_q(q: jnp.ndarray) -> jnp.ndarray:
+    """int16 → float sdf (reference SDF_valueToFloat)."""
+    return q.astype(jnp.float32) * (1.0 / SDF_SCALE)
+
+
+def clr_to_q(c: jnp.ndarray) -> jnp.ndarray:
+    """float rgb 0..1 → uint8 (reference TO_UCHAR3(c*255))."""
+    return jnp.round(jnp.clip(c, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+def clr_from_q(q: jnp.ndarray) -> jnp.ndarray:
+    return q.astype(jnp.float32) * (1.0 / 255.0)
+
 # visible_type codes (reference ITMRenderState_VH semantics)
 VT_NOT_VISIBLE = 0
 VT_VISIBLE = 1
@@ -46,14 +74,14 @@ class HashVolume(NamedTuple):
     entry_pos: jnp.ndarray  # [E, 3] int32 block coords
     entry_ptr: jnp.ndarray  # [E] int32 (see semantics above)
     entry_offset: jnp.ndarray  # [E] int32: 0 = chain end, k>0 → excess idx k−1
-    voxel_sdf: jnp.ndarray  # [B, S³] float32 (linear idx x + y·S + z·S²)
-    voxel_w: jnp.ndarray  # [B, S³] int32
+    voxel_sdf: jnp.ndarray  # [B, S³] int16 ×32767 (linear idx x + y·S + z·S²)
+    voxel_w: jnp.ndarray  # [B, S³] uint8
     alloc_list: jnp.ndarray  # [B] int32 free block stack
     last_free_block: jnp.ndarray  # scalar int32: index of stack top
     excess_list: jnp.ndarray  # [X] int32 free excess-entry stack
     last_free_excess: jnp.ndarray  # scalar int32
-    clr: Optional[jnp.ndarray] = None  # [B, S³, 3] float32
-    w_color: Optional[jnp.ndarray] = None  # [B, S³] int32
+    clr: Optional[jnp.ndarray] = None  # [B, S³, 3] uint8
+    w_color: Optional[jnp.ndarray] = None  # [B, S³] uint8
 
 
 class RenderStateVH(NamedTuple):
@@ -75,14 +103,14 @@ def create_hash(params: VoxelBlockHashParams, with_color: bool = False) -> HashV
         entry_pos=jnp.zeros((E, 3), dtype=jnp.int32),
         entry_ptr=jnp.full((E,), FREE_PTR, dtype=jnp.int32),
         entry_offset=jnp.zeros((E,), dtype=jnp.int32),
-        voxel_sdf=jnp.ones((B, S3), dtype=jnp.float32),
-        voxel_w=jnp.zeros((B, S3), dtype=jnp.int32),
+        voxel_sdf=jnp.full((B, S3), SDF_Q_INIT, dtype=jnp.int16),
+        voxel_w=jnp.zeros((B, S3), dtype=jnp.uint8),
         alloc_list=jnp.arange(B, dtype=jnp.int32),
         last_free_block=jnp.array(B - 1, dtype=jnp.int32),
         excess_list=jnp.arange(X, dtype=jnp.int32),
         last_free_excess=jnp.array(X - 1, dtype=jnp.int32),
-        clr=jnp.zeros((B, S3, 3), dtype=jnp.float32) if with_color else None,
-        w_color=jnp.zeros((B, S3), dtype=jnp.int32) if with_color else None,
+        clr=jnp.zeros((B, S3, 3), dtype=jnp.uint8) if with_color else None,
+        w_color=jnp.zeros((B, S3), dtype=jnp.uint8) if with_color else None,
     )
     return vol
 
@@ -167,7 +195,7 @@ def make_hash_reader(vol: HashVolume, params: VoxelBlockHashParams):
         block, linear = point_to_block(pts_int, S)
         pr = probe(vol, block, params, include_swapped=False)
         blk = jnp.where(pr.found, pr.entry_ptr, 0)
-        sdf = vol.voxel_sdf[blk, linear]
+        sdf = sdf_from_q(vol.voxel_sdf[blk, linear])
         return jnp.where(pr.found, sdf, 1.0), pr.found
 
     return read
@@ -220,7 +248,7 @@ def make_hash_color_reader(vol: HashVolume, params: VoxelBlockHashParams):
         block, linear = point_to_block(pts_int, S)
         pr = probe(vol, block, params, include_swapped=False)
         blk = jnp.where(pr.found, pr.entry_ptr, 0)
-        c = vol.clr[blk, linear]
+        c = clr_from_q(vol.clr[blk, linear])
         return jnp.where(pr.found[..., None], c, 0.0)
 
     return read
@@ -372,7 +400,7 @@ def make_grid_reader(vol: HashVolume, grid: jnp.ndarray, grid_params, params: Vo
         gc = jnp.clip(g, 0, jnp.array([gx - 1, gy - 1, gz - 1], dtype=jnp.int32))
         ptr = grid[gc[..., 0], gc[..., 1], gc[..., 2]]
         found = inb & (ptr >= 0)
-        sdf = vol.voxel_sdf[jnp.where(found, ptr, 0), linear]
+        sdf = sdf_from_q(vol.voxel_sdf[jnp.where(found, ptr, 0), linear])
         return jnp.where(found, sdf, 1.0), found
 
     return read

@@ -39,22 +39,22 @@ class GlobalCache:
     them, ITMGlobalCache.h:18-40). Indexed by hash-entry id like the
     reference."""
 
-    stored_sdf: np.ndarray  # [E, S³] float32
-    stored_w: np.ndarray  # [E, S³] int32
+    stored_sdf: np.ndarray  # [E, S³] int16 (×32767, like the live volume)
+    stored_w: np.ndarray  # [E, S³] uint8
     has_stored: np.ndarray  # [E] bool
-    stored_clr: Optional[np.ndarray] = None  # [E, S³, 3] float32 (use_color)
-    stored_wc: Optional[np.ndarray] = None  # [E, S³] int32
+    stored_clr: Optional[np.ndarray] = None  # [E, S³, 3] uint8 (use_color)
+    stored_wc: Optional[np.ndarray] = None  # [E, S³] uint8
 
     @classmethod
     def create(cls, settings: Settings) -> "GlobalCache":
         E = settings.hashing.n_entries
         S3 = settings.hashing.block_volume
         return cls(
-            stored_sdf=np.ones((E, S3), dtype=np.float32),
-            stored_w=np.zeros((E, S3), dtype=np.int32),
+            stored_sdf=np.full((E, S3), 32767, dtype=np.int16),
+            stored_w=np.zeros((E, S3), dtype=np.uint8),
             has_stored=np.zeros((E,), dtype=bool),
-            stored_clr=np.zeros((E, S3, 3), dtype=np.float32) if settings.use_color else None,
-            stored_wc=np.zeros((E, S3), dtype=np.int32) if settings.use_color else None,
+            stored_clr=np.zeros((E, S3, 3), dtype=np.uint8) if settings.use_color else None,
+            stored_wc=np.zeros((E, S3), dtype=np.uint8) if settings.use_color else None,
         )
 
     def save(self, path: str) -> None:
@@ -93,8 +93,8 @@ def merge_swapped_in(
     vol: HashVolume,
     swap_states: jnp.ndarray,
     needed_ids: jnp.ndarray,  # [cap] entry ids, −1 padded
-    buf_sdf: jnp.ndarray,  # [cap, S³] host-gathered blocks
-    buf_w: jnp.ndarray,
+    buf_sdf: jnp.ndarray,  # [cap, S³] int16 host-gathered blocks
+    buf_w: jnp.ndarray,  # [cap, S³] uint8
     has_data: jnp.ndarray,  # [cap] bool
     settings: Settings,
     buf_clr: Optional[jnp.ndarray] = None,  # [cap, S³, 3]
@@ -115,10 +115,12 @@ def merge_swapped_in(
     valid = (needed_ids >= 0) & (ptr >= 0) & has_data
     ptr_c = jnp.where(valid, ptr, 0)
 
-    dst_sdf = vol.voxel_sdf[ptr_c]
-    dst_w = vol.voxel_w[ptr_c]
-    src_w = buf_w
-    src_sdf = buf_sdf
+    from infinitam_tpu.engine.hash_volume import clr_from_q, clr_to_q, sdf_from_q, sdf_to_q
+
+    dst_sdf = sdf_from_q(vol.voxel_sdf[ptr_c])
+    dst_w = vol.voxel_w[ptr_c].astype(jnp.int32)
+    src_w = buf_w.astype(jnp.int32)
+    src_sdf = sdf_from_q(buf_sdf)
 
     # combineVoxelDepthInformation: if oldW (host) == 0 keep device voxel;
     # newF = (oldW·oldF + newW·newF)/(oldW+newW); newW capped at maxW.
@@ -130,24 +132,24 @@ def merge_swapped_in(
     out_w = jnp.where(use, merged_w, dst_w)
 
     scatter_idx = jnp.where(valid, ptr_c, B)
-    voxel_sdf = vol.voxel_sdf.at[scatter_idx].set(out_sdf, mode="drop")
-    voxel_w = vol.voxel_w.at[scatter_idx].set(out_w, mode="drop")
+    voxel_sdf = vol.voxel_sdf.at[scatter_idx].set(sdf_to_q(out_sdf), mode="drop")
+    voxel_w = vol.voxel_w.at[scatter_idx].set(out_w.astype(jnp.uint8), mode="drop")
     clr, wc = vol.clr, vol.w_color
     if vol.clr is not None and buf_clr is not None:
         # combineVoxelColorInformation: same running average on (clr, w_color)
-        dst_clr = vol.clr[ptr_c]
-        dst_wc = vol.w_color[ptr_c]
-        src_wc = buf_wc
+        dst_clr = clr_from_q(vol.clr[ptr_c])
+        dst_wc = vol.w_color[ptr_c].astype(jnp.int32)
+        src_wc = buf_wc.astype(jnp.int32)
         merged_wc_raw = dst_wc + src_wc
         merged_clr = (
-            src_wc[..., None] * buf_clr + dst_wc[..., None] * dst_clr
+            src_wc[..., None] * clr_from_q(buf_clr) + dst_wc[..., None] * dst_clr
         ) / jnp.maximum(merged_wc_raw, 1)[..., None]
         merged_wc = jnp.minimum(merged_wc_raw, max_w)
         use_c = (src_wc > 0) & valid[:, None]
         out_clr = jnp.where(use_c[..., None], merged_clr, dst_clr)
         out_wc = jnp.where(use_c, merged_wc, dst_wc)
-        clr = vol.clr.at[scatter_idx].set(out_clr, mode="drop")
-        wc = vol.w_color.at[scatter_idx].set(out_wc, mode="drop")
+        clr = vol.clr.at[scatter_idx].set(clr_to_q(out_clr), mode="drop")
+        wc = vol.w_color.at[scatter_idx].set(out_wc.astype(jnp.uint8), mode="drop")
 
     sidx = jnp.where(needed_ids >= 0, ids_c, E)
     swap_states = swap_states.at[sidx].set(2, mode="drop")
@@ -186,9 +188,11 @@ def evict_blocks(
 
     # clear evicted blocks (reference clears to TVoxel() = sdf 1, w 0,
     # clr 0, w_color 0)
+    from infinitam_tpu.engine.hash_volume import SDF_Q_INIT
+
     scatter_idx = jnp.where(valid, ptr_c, B)
     voxel_sdf = vol.voxel_sdf.at[scatter_idx].set(
-        jnp.ones_like(buf_sdf), mode="drop"
+        jnp.full_like(buf_sdf, SDF_Q_INIT), mode="drop"
     )
     voxel_w = vol.voxel_w.at[scatter_idx].set(jnp.zeros_like(buf_w), mode="drop")
     buf_clr = buf_wc = None

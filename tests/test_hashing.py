@@ -120,10 +120,10 @@ def test_hash_reader_roundtrip():
     pr = _probe_jit(vol, jnp.array([0, 0, 0], dtype=jnp.int32))
     blk = int(pr.entry_ptr)
     # write a voxel: global (3, 4, 5) in block (0,0,0) → linear 3+4·8+5·64
-    vol = vol._replace(voxel_sdf=vol.voxel_sdf.at[blk, 3 + 32 + 320].set(-0.5))
+    vol = vol._replace(voxel_sdf=vol.voxel_sdf.at[blk, 3 + 32 + 320].set(hv.sdf_to_q(-0.5)))
     read = hv.make_hash_reader(vol, HP)
     sdf, found = read(jnp.array([3, 4, 5], dtype=jnp.int32))
-    assert bool(found) and float(sdf) == -0.5
+    assert bool(found) and abs(float(sdf) + 0.5) < 1e-4
     # voxel in an unallocated block reads as empty space
     sdf, found = read(jnp.array([100, 100, 100], dtype=jnp.int32))
     assert not bool(found) and float(sdf) == 1.0
@@ -142,3 +142,23 @@ def test_visible_list_compaction():
     n = int(rs.n_visible)
     assert n == int((np.asarray(rs.visible_type) > 0).sum())
     assert (ids[:n] >= 0).all() and (ids[n:] == -1).all()
+
+
+def test_sdf_quantization_roundtrip_and_accuracy():
+    """Storage quantization (reference ITMVoxel_s: sdf int16 x32767,
+    weights/colors uint8): round-trip error bounded by half an LSB, and the
+    fused surface position stays well below the voxel size."""
+    import numpy as np
+
+    f = jnp.linspace(-1.0, 1.0, 1001)
+    back = hv.sdf_from_q(hv.sdf_to_q(f))
+    assert float(jnp.max(jnp.abs(back - f))) <= 0.5 / 32767.0 + 1e-7
+
+    # clamping semantics: out-of-range floats clamp like the reference's
+    # short cast after the fusion clamp
+    assert int(hv.sdf_to_q(jnp.float32(2.0))) == 32767
+    assert int(hv.sdf_to_q(jnp.float32(-2.0))) == -32767
+
+    c = jnp.linspace(0.0, 1.0, 256)
+    cq = hv.clr_from_q(hv.clr_to_q(c))
+    assert float(jnp.max(jnp.abs(cq - c))) <= 0.5 / 255.0 + 1e-7

@@ -129,7 +129,7 @@ def integrate_into_scene(
     sp = settings.scene
     S = hp.block_size
     S3 = hp.block_volume
-    B = vol.voxel_sdf.shape[0]
+    B = vol.vox.shape[0]
 
     ids = render_state.visible_ids  # [V]
     # Work proportional to visibility: the reference launches
@@ -154,10 +154,11 @@ def integrate_into_scene(
     gvox = bpos[:, None, :] * S + local[None, :, :]  # [V, S³, 3]
     pt_world = gvox.astype(jnp.float32) * sp.voxel_size
 
-    old_sdf = hv.sdf_from_q(vol.voxel_sdf[ptr_c])  # [V, S³]
-    old_w = vol.voxel_w[ptr_c].astype(jnp.int32)
+    old_vox = vol.vox[ptr_c]  # [V, S³] packed — ONE gather
+    old_sdf = hv.vox_sdf(old_vox)
+    old_w = hv.vox_w(old_vox)
 
-    with_color = settings.use_color and view.rgb is not None and vol.clr is not None
+    with_color = settings.use_color and view.rgb is not None and vol.vox_rgb is not None
     M_rgb = None
     rgb = None
     old_clr = old_wc = None
@@ -165,8 +166,9 @@ def integrate_into_scene(
         # reference: M_rgb = trafo_rgb_to_depth.calib_inv * M_d
         M_rgb = se3.invert(rgb_to_depth) @ pose if rgb_to_depth is not None else pose
         rgb = view.rgb
-        old_clr = hv.clr_from_q(vol.clr[ptr_c])
-        old_wc = vol.w_color[ptr_c].astype(jnp.int32)
+        old_rgb = vol.vox_rgb[ptr_c]
+        old_clr = hv.clr_from_q(hv.rgb_clr_q(old_rgb))
+        old_wc = hv.rgb_wc(old_rgb)
 
     new_sdf, new_w, new_clr, new_wc = tsdf.integrate_dense(
         old_sdf,
@@ -194,14 +196,15 @@ def integrate_into_scene(
             new_wc = jnp.where(keep, new_wc, old_wc)
 
     scatter_idx = jnp.where(valid, ptr_c, B)  # B → dropped
-    voxel_sdf = vol.voxel_sdf.at[scatter_idx].set(hv.sdf_to_q(new_sdf), mode="drop")
-    voxel_w = vol.voxel_w.at[scatter_idx].set(new_w.astype(jnp.uint8), mode="drop")
-    clr = vol.clr
-    wc = vol.w_color
+    vox = vol.vox.at[scatter_idx].set(
+        hv.pack_vox(hv.sdf_to_q(new_sdf), new_w), mode="drop"
+    )
+    vox_rgb = vol.vox_rgb
     if with_color:
-        clr = vol.clr.at[scatter_idx].set(hv.clr_to_q(new_clr), mode="drop")
-        wc = vol.w_color.at[scatter_idx].set(new_wc.astype(jnp.uint8), mode="drop")
-    return vol._replace(voxel_sdf=voxel_sdf, voxel_w=voxel_w, clr=clr, w_color=wc)
+        vox_rgb = vol.vox_rgb.at[scatter_idx].set(
+            hv.pack_rgb(hv.clr_to_q(new_clr), new_wc), mode="drop"
+        )
+    return vol._replace(vox=vox, vox_rgb=vox_rgb)
 
 
 def expected_depth_ranges(

@@ -31,33 +31,78 @@ from infinitam_tpu.ops.hashing import hash_index, point_to_block
 FREE_PTR = -2  # empty hash entry
 SWAPPED_PTR = -1  # allocated, streamed out to the host tier
 
-# Quantized voxel storage (reference: ITMVoxel_s_rgb, ITMLibDefines.h:80-106 —
-# sdf as short scaled by 32767, w_depth/w_color as uchar, clr as uchar3).
-# Storage is 3 bytes/voxel (+4 with color) instead of round-1's 8 (+16): the
-# hot phases are gather/scatter-bandwidth-bound and the raycast kernel keeps
-# the active SDF slice VMEM-resident, so the footprint is a first-order lever.
+# Quantized PACKED voxel storage. Reference layout: ITMVoxel_s_rgb
+# (ITMLibDefines.h:80-106 — sdf as short scaled by 32767, w_depth/w_color as
+# uchar, clr as uchar3). Here the depth voxel packs into ONE int32 lane
+# (sdf:int16 << 16 | w:uint8 << 8) and the color voxel into a second
+# (r<<24|g<<16|b<<8|w_color): the hot phases are gather/scatter-bound, one
+# plane halves their transaction count, and the Pallas kernels want
+# (1, 512)-int32 row blocks (int32 is the only dtype whose dynamic row
+# loads/stores Mosaic handles robustly — PERF_NOTES.md).
 SDF_SCALE = 32767.0
-SDF_Q_INIT = jnp.int16(32767)  # empty space: sdf = 1.0
+VOX_INIT = jnp.int32(32767 << 16)  # empty space: sdf = 1.0, w = 0
 
 
 def sdf_to_q(f: jnp.ndarray) -> jnp.ndarray:
-    """float sdf in [-1,1] → int16 (reference SDF_floatToValue; rounded
-    rather than C-truncated — ≤1 LSB difference, strictly less bias)."""
-    return jnp.round(jnp.clip(f, -1.0, 1.0) * SDF_SCALE).astype(jnp.int16)
+    """float sdf in [-1,1] → int16-valued int32 (reference SDF_floatToValue;
+    rounded rather than C-truncated — ≤1 LSB difference, strictly less bias)."""
+    return jnp.round(jnp.clip(f, -1.0, 1.0) * SDF_SCALE).astype(jnp.int32)
 
 
 def sdf_from_q(q: jnp.ndarray) -> jnp.ndarray:
-    """int16 → float sdf (reference SDF_valueToFloat)."""
+    """int16-valued int → float sdf (reference SDF_valueToFloat)."""
     return q.astype(jnp.float32) * (1.0 / SDF_SCALE)
 
 
 def clr_to_q(c: jnp.ndarray) -> jnp.ndarray:
-    """float rgb 0..1 → uint8 (reference TO_UCHAR3(c*255))."""
-    return jnp.round(jnp.clip(c, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    """float rgb 0..1 → uint8-valued int32 (reference TO_UCHAR3(c*255))."""
+    return jnp.round(jnp.clip(c, 0.0, 1.0) * 255.0).astype(jnp.int32)
 
 
 def clr_from_q(q: jnp.ndarray) -> jnp.ndarray:
     return q.astype(jnp.float32) * (1.0 / 255.0)
+
+
+# --- packed-lane accessors -------------------------------------------------
+def pack_vox(sdf_q: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """(sdf int16, w uint8) → packed int32 lane."""
+    sdf_q = jnp.asarray(sdf_q, dtype=jnp.int32)
+    w = jnp.asarray(w, dtype=jnp.int32)
+    return ((sdf_q & 0xFFFF) << 16) | ((w & 0xFF) << 8)
+
+
+def vox_sdf_q(vox: jnp.ndarray) -> jnp.ndarray:
+    """packed → sdf int16 (sign-extended int32)."""
+    return vox >> 16
+
+
+def vox_sdf(vox: jnp.ndarray) -> jnp.ndarray:
+    """packed → float sdf."""
+    return sdf_from_q(vox >> 16)
+
+
+def vox_w(vox: jnp.ndarray) -> jnp.ndarray:
+    """packed → fusion weight int32."""
+    return (vox >> 8) & 0xFF
+
+
+def pack_rgb(clr_q: jnp.ndarray, wc: jnp.ndarray) -> jnp.ndarray:
+    """(clr uint8 [...,3], w_color uint8) → packed int32 lane."""
+    c = jnp.asarray(clr_q, dtype=jnp.int32) & 0xFF
+    wc = jnp.asarray(wc, dtype=jnp.int32)
+    return (c[..., 0] << 24) | (c[..., 1] << 16) | (c[..., 2] << 8) | (wc & 0xFF)
+
+
+def rgb_clr_q(vox_rgb: jnp.ndarray) -> jnp.ndarray:
+    """packed → clr uint8-valued int32 [..., 3]."""
+    return jnp.stack(
+        [(vox_rgb >> 24) & 0xFF, (vox_rgb >> 16) & 0xFF, (vox_rgb >> 8) & 0xFF],
+        axis=-1,
+    )
+
+
+def rgb_wc(vox_rgb: jnp.ndarray) -> jnp.ndarray:
+    return vox_rgb & 0xFF
 
 # visible_type codes (reference ITMRenderState_VH semantics)
 VT_NOT_VISIBLE = 0
@@ -74,14 +119,12 @@ class HashVolume(NamedTuple):
     entry_pos: jnp.ndarray  # [E, 3] int32 block coords
     entry_ptr: jnp.ndarray  # [E] int32 (see semantics above)
     entry_offset: jnp.ndarray  # [E] int32: 0 = chain end, k>0 → excess idx k−1
-    voxel_sdf: jnp.ndarray  # [B, S³] int16 ×32767 (linear idx x + y·S + z·S²)
-    voxel_w: jnp.ndarray  # [B, S³] uint8
+    vox: jnp.ndarray  # [B, S³] int32 packed sdf<<16|w<<8 (lin idx x+y·S+z·S²)
     alloc_list: jnp.ndarray  # [B] int32 free block stack
     last_free_block: jnp.ndarray  # scalar int32: index of stack top
     excess_list: jnp.ndarray  # [X] int32 free excess-entry stack
     last_free_excess: jnp.ndarray  # scalar int32
-    clr: Optional[jnp.ndarray] = None  # [B, S³, 3] uint8
-    w_color: Optional[jnp.ndarray] = None  # [B, S³] uint8
+    vox_rgb: Optional[jnp.ndarray] = None  # [B, S³] int32 packed r,g,b,w_color
 
 
 class RenderStateVH(NamedTuple):
@@ -103,14 +146,12 @@ def create_hash(params: VoxelBlockHashParams, with_color: bool = False) -> HashV
         entry_pos=jnp.zeros((E, 3), dtype=jnp.int32),
         entry_ptr=jnp.full((E,), FREE_PTR, dtype=jnp.int32),
         entry_offset=jnp.zeros((E,), dtype=jnp.int32),
-        voxel_sdf=jnp.full((B, S3), SDF_Q_INIT, dtype=jnp.int16),
-        voxel_w=jnp.zeros((B, S3), dtype=jnp.uint8),
+        vox=jnp.full((B, S3), VOX_INIT, dtype=jnp.int32),
         alloc_list=jnp.arange(B, dtype=jnp.int32),
         last_free_block=jnp.array(B - 1, dtype=jnp.int32),
         excess_list=jnp.arange(X, dtype=jnp.int32),
         last_free_excess=jnp.array(X - 1, dtype=jnp.int32),
-        clr=jnp.zeros((B, S3, 3), dtype=jnp.uint8) if with_color else None,
-        w_color=jnp.zeros((B, S3), dtype=jnp.uint8) if with_color else None,
+        vox_rgb=jnp.zeros((B, S3), dtype=jnp.int32) if with_color else None,
     )
     return vol
 
@@ -195,7 +236,7 @@ def make_hash_reader(vol: HashVolume, params: VoxelBlockHashParams):
         block, linear = point_to_block(pts_int, S)
         pr = probe(vol, block, params, include_swapped=False)
         blk = jnp.where(pr.found, pr.entry_ptr, 0)
-        sdf = sdf_from_q(vol.voxel_sdf[blk, linear])
+        sdf = vox_sdf(vol.vox[blk, linear])
         return jnp.where(pr.found, sdf, 1.0), pr.found
 
     return read
@@ -210,7 +251,7 @@ def make_hash_weight_reader(vol: HashVolume, params: VoxelBlockHashParams):
         block, linear = point_to_block(pts_int, S)
         pr = probe(vol, block, params, include_swapped=False)
         blk = jnp.where(pr.found, pr.entry_ptr, 0)
-        w = vol.voxel_w[blk, linear].astype(jnp.float32)
+        w = vox_w(vol.vox[blk, linear]).astype(jnp.float32)
         return jnp.where(pr.found, w, 0.0), pr.found
 
     return read
@@ -233,7 +274,7 @@ def make_grid_weight_reader(vol: HashVolume, grid: jnp.ndarray, grid_params, par
         gc = jnp.clip(g, 0, jnp.array([gx - 1, gy - 1, gz - 1], dtype=jnp.int32))
         ptr = grid[gc[..., 0], gc[..., 1], gc[..., 2]]
         found = inb & (ptr >= 0)
-        w = vol.voxel_w[jnp.where(found, ptr, 0), linear].astype(jnp.float32)
+        w = vox_w(vol.vox[jnp.where(found, ptr, 0), linear]).astype(jnp.float32)
         return jnp.where(found, w, 0.0), found
 
     return read
@@ -243,12 +284,12 @@ def make_hash_color_reader(vol: HashVolume, params: VoxelBlockHashParams):
     S = params.block_size
 
     def read(pts_int: jnp.ndarray):
-        if vol.clr is None:
+        if vol.vox_rgb is None:
             return jnp.zeros(pts_int.shape[:-1] + (3,), dtype=jnp.float32)
         block, linear = point_to_block(pts_int, S)
         pr = probe(vol, block, params, include_swapped=False)
         blk = jnp.where(pr.found, pr.entry_ptr, 0)
-        c = clr_from_q(vol.clr[blk, linear])
+        c = clr_from_q(rgb_clr_q(vol.vox_rgb[blk, linear]))
         return jnp.where(pr.found[..., None], c, 0.0)
 
     return read
@@ -400,7 +441,7 @@ def make_grid_reader(vol: HashVolume, grid: jnp.ndarray, grid_params, params: Vo
         gc = jnp.clip(g, 0, jnp.array([gx - 1, gy - 1, gz - 1], dtype=jnp.int32))
         ptr = grid[gc[..., 0], gc[..., 1], gc[..., 2]]
         found = inb & (ptr >= 0)
-        sdf = sdf_from_q(vol.voxel_sdf[jnp.where(found, ptr, 0), linear])
+        sdf = vox_sdf(vol.vox[jnp.where(found, ptr, 0), linear])
         return jnp.where(found, sdf, 1.0), found
 
     return read

@@ -107,7 +107,7 @@ def merge_swapped_in(
     reference)."""
     hp = settings.hashing
     E = hp.n_entries
-    B = vol.voxel_sdf.shape[0]
+    B = vol.vox.shape[0]
     max_w = settings.scene.max_w
 
     ids_c = jnp.clip(needed_ids, 0, E - 1)
@@ -115,10 +115,22 @@ def merge_swapped_in(
     valid = (needed_ids >= 0) & (ptr >= 0) & has_data
     ptr_c = jnp.where(valid, ptr, 0)
 
-    from infinitam_tpu.engine.hash_volume import clr_from_q, clr_to_q, sdf_from_q, sdf_to_q
+    from infinitam_tpu.engine.hash_volume import (
+        clr_from_q,
+        clr_to_q,
+        pack_rgb,
+        pack_vox,
+        rgb_clr_q,
+        rgb_wc,
+        sdf_from_q,
+        sdf_to_q,
+        vox_sdf,
+        vox_w,
+    )
 
-    dst_sdf = sdf_from_q(vol.voxel_sdf[ptr_c])
-    dst_w = vol.voxel_w[ptr_c].astype(jnp.int32)
+    dst_vox = vol.vox[ptr_c]
+    dst_sdf = vox_sdf(dst_vox)
+    dst_w = vox_w(dst_vox)
     src_w = buf_w.astype(jnp.int32)
     src_sdf = sdf_from_q(buf_sdf)
 
@@ -132,13 +144,15 @@ def merge_swapped_in(
     out_w = jnp.where(use, merged_w, dst_w)
 
     scatter_idx = jnp.where(valid, ptr_c, B)
-    voxel_sdf = vol.voxel_sdf.at[scatter_idx].set(sdf_to_q(out_sdf), mode="drop")
-    voxel_w = vol.voxel_w.at[scatter_idx].set(out_w.astype(jnp.uint8), mode="drop")
-    clr, wc = vol.clr, vol.w_color
-    if vol.clr is not None and buf_clr is not None:
+    vox = vol.vox.at[scatter_idx].set(
+        pack_vox(sdf_to_q(out_sdf), out_w), mode="drop"
+    )
+    vox_rgb = vol.vox_rgb
+    if vol.vox_rgb is not None and buf_clr is not None:
         # combineVoxelColorInformation: same running average on (clr, w_color)
-        dst_clr = clr_from_q(vol.clr[ptr_c])
-        dst_wc = vol.w_color[ptr_c].astype(jnp.int32)
+        dst_rgb = vol.vox_rgb[ptr_c]
+        dst_clr = clr_from_q(rgb_clr_q(dst_rgb))
+        dst_wc = rgb_wc(dst_rgb)
         src_wc = buf_wc.astype(jnp.int32)
         merged_wc_raw = dst_wc + src_wc
         merged_clr = (
@@ -148,12 +162,13 @@ def merge_swapped_in(
         use_c = (src_wc > 0) & valid[:, None]
         out_clr = jnp.where(use_c[..., None], merged_clr, dst_clr)
         out_wc = jnp.where(use_c, merged_wc, dst_wc)
-        clr = vol.clr.at[scatter_idx].set(clr_to_q(out_clr), mode="drop")
-        wc = vol.w_color.at[scatter_idx].set(out_wc.astype(jnp.uint8), mode="drop")
+        vox_rgb = vol.vox_rgb.at[scatter_idx].set(
+            pack_rgb(clr_to_q(out_clr), out_wc), mode="drop"
+        )
 
     sidx = jnp.where(needed_ids >= 0, ids_c, E)
     swap_states = swap_states.at[sidx].set(2, mode="drop")
-    return vol._replace(voxel_sdf=voxel_sdf, voxel_w=voxel_w, clr=clr, w_color=wc), swap_states
+    return vol._replace(vox=vox, vox_rgb=vox_rgb), swap_states
 
 
 @partial(jax.jit, static_argnames=("settings",))
@@ -172,7 +187,7 @@ def evict_blocks(
     — color buffers are None when the volume has no color planes."""
     hp = settings.hashing
     E = hp.n_entries
-    B = vol.voxel_sdf.shape[0]
+    B = vol.vox.shape[0]
     cap = hp.n_transfer_blocks
 
     mask = (swap_states == 2) & (vol.entry_ptr >= 0) & (visible_type == 0)
@@ -183,25 +198,32 @@ def evict_blocks(
     ptr = vol.entry_ptr[ids_c]
     ptr_c = jnp.where(valid, ptr, 0)
 
-    buf_sdf = vol.voxel_sdf[ptr_c]
-    buf_w = vol.voxel_w[ptr_c]
+    from infinitam_tpu.engine.hash_volume import (
+        VOX_INIT,
+        rgb_clr_q,
+        rgb_wc,
+        vox_sdf_q,
+        vox_w,
+    )
+
+    buf_vox = vol.vox[ptr_c]
+    # host cache keeps the reference TVoxel plane layout (int16 sdf, uchar w)
+    buf_sdf = vox_sdf_q(buf_vox).astype(jnp.int16)
+    buf_w = vox_w(buf_vox).astype(jnp.uint8)
 
     # clear evicted blocks (reference clears to TVoxel() = sdf 1, w 0,
     # clr 0, w_color 0)
-    from infinitam_tpu.engine.hash_volume import SDF_Q_INIT
-
     scatter_idx = jnp.where(valid, ptr_c, B)
-    voxel_sdf = vol.voxel_sdf.at[scatter_idx].set(
-        jnp.full_like(buf_sdf, SDF_Q_INIT), mode="drop"
+    vox = vol.vox.at[scatter_idx].set(
+        jnp.full_like(buf_vox, VOX_INIT), mode="drop"
     )
-    voxel_w = vol.voxel_w.at[scatter_idx].set(jnp.zeros_like(buf_w), mode="drop")
     buf_clr = buf_wc = None
-    clr, wc = vol.clr, vol.w_color
-    if vol.clr is not None:
-        buf_clr = vol.clr[ptr_c]
-        buf_wc = vol.w_color[ptr_c]
-        clr = vol.clr.at[scatter_idx].set(jnp.zeros_like(buf_clr), mode="drop")
-        wc = vol.w_color.at[scatter_idx].set(jnp.zeros_like(buf_wc), mode="drop")
+    vox_rgb = vol.vox_rgb
+    if vol.vox_rgb is not None:
+        buf_rgb = vol.vox_rgb[ptr_c]
+        buf_clr = rgb_clr_q(buf_rgb).astype(jnp.uint8)
+        buf_wc = rgb_wc(buf_rgb).astype(jnp.uint8)
+        vox_rgb = vol.vox_rgb.at[scatter_idx].set(jnp.zeros_like(buf_rgb), mode="drop")
 
     # push blocks back on the free stack
     k = jnp.cumsum(valid.astype(jnp.int32)) - 1  # rank among evicted
@@ -217,10 +239,8 @@ def evict_blocks(
     swap_states = swap_states.at[eidx].set(0, mode="drop")
 
     new_vol = vol._replace(
-        voxel_sdf=voxel_sdf,
-        voxel_w=voxel_w,
-        clr=clr,
-        w_color=wc,
+        vox=vox,
+        vox_rgb=vox_rgb,
         alloc_list=alloc_list,
         last_free_block=vol.last_free_block + n_freed,
         entry_ptr=entry_ptr,
@@ -244,7 +264,7 @@ def swap_in(
     buf_sdf = cache.stored_sdf[sel]
     buf_w = np.where(has[:, None], cache.stored_w[sel], 0)
     buf_clr = buf_wc = None
-    if vol.clr is not None and cache.stored_clr is not None:
+    if vol.vox_rgb is not None and cache.stored_clr is not None:
         buf_clr = jnp.asarray(cache.stored_clr[sel])
         buf_wc = jnp.asarray(np.where(has[:, None], cache.stored_wc[sel], 0))
     vol, swap_states = merge_swapped_in(

@@ -1,0 +1,383 @@
+"""Pallas TPU raycast: tile-pencil page-list sphere-march on the MXU.
+
+The flagship raycast kernel (SURVEY.md §7 build-order step 4). The CUDA
+reference launches one divergent while-loop thread per pixel
+(genericRaycast_device, ITMVisualisationEngine_CUDA.cu:532-544 →
+DeviceAgnostic/ITMVisualisationEngine.h:92-158 castRay) whose inner reads are
+pointer-chasing hash walks. Neither divergent loops nor random gathers map to
+the TPU (measured ≈10-65 ns per random tap — PERF_NOTES.md), so the design is
+re-derived for the hardware:
+
+- the image marches in 16×16-pixel TILES (one Pallas grid step per tile);
+- each tile gets a PAGE LIST: the ≤KP voxel blocks its ray pencil can touch,
+  built XLA-side from the dense block→pool grid (pages are rows of a pooled
+  int8 SDF snapshot of the visible blocks, emitted by the integrate kernel,
+  VMEM-resident for the whole kernel);
+- a "tap" (sdf at a voxel) is ONE-HOT MATMUL algebra instead of a gather:
+    Q = pages[KP,512] @ onehot(linear_idx)[512,256]   (MXU, bf16)
+    sdf[r] = Σ_k (page_key[k] == cell_key[r]) · Q[k,r] (VPU)
+  — int8 SDF values and one-hots are exact in bfloat16;
+- the march is a fixed-count lock-step sampler over the per-pixel expected
+  depth range [zmin, zmax] (the reference's renderingRangeImage), with a
+  whole-tile early exit once every ray has bracketed a zero crossing;
+- the hit is refined by one secant step on the bracketing samples plus two
+  trilinear-refinement rounds (the reference's castRay:141-150), where the 8
+  trilinear corners come from ONE stacked matmul over pre-rolled page copies.
+
+Out-of-page taps read as sdf=+1 (empty space) — identical to the reference's
+unallocated-block semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# tile geometry: 16×16 pixels = 256 rays = one VPU lane row per quantity
+TILE = 16
+NRAY = TILE * TILE
+
+_CORNERS = [(dx, dy, dz) for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
+
+
+def _cell_key(bx, by, bz, grid_dims, grid_origin):
+    """Packed block-grid cell id (must equal the XLA-side flat id); −1 when
+    outside the working grid."""
+    gx_d, gy_d, gz_d = grid_dims
+    ox, oy, oz = grid_origin
+    gx = bx - ox
+    gy = by - oy
+    gz = bz - oz
+    inb = (
+        (gx >= 0) & (gx < gx_d)
+        & (gy >= 0) & (gy < gy_d)
+        & (gz >= 0) & (gz < gz_d)
+    )
+    key = (gx * gy_d + gy) * gz_d + gz
+    return jnp.where(inb, key, -1)
+
+
+def _raycast_kernel(
+    page_rows_ref,  # SMEM (1, KP) int32 — pool rows per page (−1 empty)
+    page_key_ref,  # SMEM (1, KP) int32 — cell keys per page (−2 empty)
+    rays_ref,  # VMEM (1, 8, 256) f32 — ox,oy,oz,dx,dy,dz,L,active
+    pool_ref,  # VMEM (NP, 512) int8 — visible-block sdf pool (×128)
+    out_ref,  # VMEM (1, 8, 256) f32 — px,py,pz,found,t*,sdf,...
+    pages,  # scratch VMEM (KP, 512) bf16
+    keys,  # scratch VMEM (KP, 256) int32
+    p8,  # scratch VMEM (8·KP, 512) bf16 — corner-rolled page copies
+    *,
+    kp: int,
+    t_march: int,
+    step_scale: float,
+    grid_dims: Tuple[int, int, int],
+    grid_origin: Tuple[int, int, int],
+    block_size: int,
+):
+    S = block_size
+    S2 = S * S
+
+    # ---- fetch pages from the resident pool + broadcast their keys --------
+    def fetch(k, _):
+        row = jnp.maximum(page_rows_ref[0, k], 0)
+        pages[pl.ds(k, 1), :] = pool_ref[pl.ds(row, 1), :].astype(jnp.bfloat16)
+        keys[pl.ds(k, 1), :] = jnp.full((1, NRAY), page_key_ref[0, k], jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, kp, fetch, 0, unroll=True)
+
+    # corner-rolled copies for the trilinear round (roll wraps inside the
+    # block; wrapped lanes are masked to the base corner below)
+    for c, (dx, dy, dz) in enumerate(_CORNERS):
+        off = dx + S * dy + S2 * dz
+        if off == 0:
+            p8[pl.ds(0, kp), :] = pages[:]
+        else:
+            p8[pl.ds(c * kp, kp), :] = pltpu.roll(pages[:], -off, 1)
+
+    o_x = rays_ref[0, 0:1, :]
+    o_y = rays_ref[0, 1:2, :]
+    o_z = rays_ref[0, 2:3, :]
+    d_x = rays_ref[0, 3:4, :]
+    d_y = rays_ref[0, 4:5, :]
+    d_z = rays_ref[0, 5:6, :]
+    lray = rays_ref[0, 6:7, :]
+    act0 = rays_ref[0, 7:8, :] > 0.5
+
+    ds = jnp.maximum(lray, 1e-6) * (1.0 / (t_march - 1))
+
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (512, NRAY), 0)
+
+    def cellkey_and_lin(px, py, pz):
+        ip_x = jnp.floor(px + 0.5).astype(jnp.int32)
+        ip_y = jnp.floor(py + 0.5).astype(jnp.int32)
+        ip_z = jnp.floor(pz + 0.5).astype(jnp.int32)
+        bx = ip_x >> 3
+        by = ip_y >> 3
+        bz = ip_z >> 3
+        lin = (ip_x & 7) + S * (ip_y & 7) + S2 * (ip_z & 7)
+        return _cell_key(bx, by, bz, grid_dims, grid_origin), lin
+
+    def tap(px, py, pz):
+        """Uninterpolated sdf at float voxel coords — [1,256] f32 in [−1,1];
+        +1 where no page covers the sample (empty space)."""
+        cell, lin = cellkey_and_lin(px, py, pz)
+        ohl = (iota_l == lin).astype(jnp.bfloat16)  # [512, 256]
+        q = jax.lax.dot_general(
+            pages[:], ohl, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [KP, 256]
+        ohk = keys[:] == cell  # [KP, 256]
+        val = jnp.sum(jnp.where(ohk, q, 0.0), axis=0, keepdims=True)
+        matched = jnp.sum(ohk.astype(jnp.float32), axis=0, keepdims=True) > 0.0
+        return jnp.where(matched, val * (1.0 / 128.0), 1.0)
+
+    # ---- march: fixed-step sampler with whole-tile early exit -------------
+    def march_body(state):
+        j, sdf_prev, t_prev, found, t_star, sdf_lo, sdf_hi = state
+        tj = ds * jnp.float32(j)
+        sdf = tap(o_x + d_x * tj, o_y + d_y * tj, o_z + d_z * tj)
+        cross = (~found) & act0 & (sdf <= 0.0)
+        # secant between the bracketing samples (sdf_prev > 0 ≥ sdf)
+        denom = sdf_prev - sdf
+        frac = jnp.where(jnp.abs(denom) > 1e-12, sdf_prev / denom, 0.0)
+        t_hit = t_prev + (tj - t_prev) * jnp.clip(frac, 0.0, 1.0)
+        t_star = jnp.where(cross, t_hit, t_star)
+        sdf_lo = jnp.where(cross, sdf_prev, sdf_lo)
+        sdf_hi = jnp.where(cross, sdf, sdf_hi)
+        found = found | cross
+        return j + 1, sdf, tj, found, t_star, sdf_lo, sdf_hi
+
+    def march_cond(state):
+        j, _sdf, _t, found, *_ = state
+        return (j < t_march) & ~jnp.all(found | ~act0)
+
+    one = jnp.ones((1, NRAY), jnp.float32)
+    zero = jnp.zeros((1, NRAY), jnp.float32)
+    init = (
+        jnp.int32(0), one, zero, jnp.zeros((1, NRAY), bool), zero, one, -one
+    )
+    _j, sdf_last, _t, found, t_star, _lo, _hi = jax.lax.while_loop(
+        march_cond, march_body, init
+    )
+
+    # ---- trilinear refinement (reference castRay:141-150) -----------------
+    def tri_round(t_star):
+        px = o_x + d_x * t_star
+        py = o_y + d_y * t_star
+        pz = o_z + d_z * t_star
+        fx_ = jnp.floor(px)
+        fy_ = jnp.floor(py)
+        fz_ = jnp.floor(pz)
+        rx = px - fx_
+        ry = py - fy_
+        rz = pz - fz_
+        ib_x = fx_.astype(jnp.int32)
+        ib_y = fy_.astype(jnp.int32)
+        ib_z = fz_.astype(jnp.int32)
+        lx = ib_x & 7
+        ly = ib_y & 7
+        lz = ib_z & 7
+        lin = lx + S * ly + S2 * lz
+        cell = _cell_key(ib_x >> 3, ib_y >> 3, ib_z >> 3, grid_dims, grid_origin)
+
+        ohl = (iota_l == lin).astype(jnp.bfloat16)
+        q8 = jax.lax.dot_general(
+            p8[:], ohl, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [8·KP, 256]
+        ohk = (keys[:] == cell).astype(jnp.float32)  # [KP, 256]
+
+        base = jnp.sum(q8[0:kp] * ohk, axis=0, keepdims=True)
+        sdf_tri = jnp.zeros((1, NRAY), jnp.float32)
+        for c, (dx, dy, dz) in enumerate(_CORNERS):
+            tap_c = jnp.sum(q8[c * kp:(c + 1) * kp] * ohk, axis=0, keepdims=True)
+            # rolled pages wrap inside the block: a corner that leaves the
+            # block reads garbage — degrade those lanes to the base corner
+            ok = jnp.ones((1, NRAY), bool)
+            if dx:
+                ok &= lx < S - 1
+            if dy:
+                ok &= ly < S - 1
+            if dz:
+                ok &= lz < S - 1
+            tap_c = jnp.where(ok, tap_c, base)
+            wx = rx if dx else (1.0 - rx)
+            wy = ry if dy else (1.0 - ry)
+            wz = rz if dz else (1.0 - rz)
+            sdf_tri = sdf_tri + wx * wy * wz * tap_c
+        matched = jnp.sum(ohk, axis=0, keepdims=True) > 0.0
+        sdf_tri = jnp.where(matched, sdf_tri * (1.0 / 128.0), 0.0)
+        return t_star + sdf_tri * step_scale, sdf_tri
+
+    t_star, _s1 = tri_round(t_star)
+    t_star, sdf_fin = tri_round(t_star)
+
+    out_ref[0, 0:1, :] = o_x + d_x * t_star
+    out_ref[0, 1:2, :] = o_y + d_y * t_star
+    out_ref[0, 2:3, :] = o_z + d_z * t_star
+    out_ref[0, 3:4, :] = jnp.where(found, 1.0, 0.0)
+    out_ref[0, 4:5, :] = t_star
+    out_ref[0, 5:6, :] = sdf_fin
+    out_ref[0, 6:7, :] = sdf_last
+    out_ref[0, 7:8, :] = zero
+
+
+def raycast_tiles(
+    page_rows: jnp.ndarray,  # [NT, KP] int32
+    page_key: jnp.ndarray,  # [NT, KP] int32
+    rays: jnp.ndarray,  # [NT, 8, 256] f32
+    pool_sdf8: jnp.ndarray,  # [NP, 512] int8
+    *,
+    t_march: int,
+    step_scale: float,
+    grid_dims: Tuple[int, int, int],
+    grid_origin: Tuple[int, int, int],
+    block_size: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the tile raycast kernel → [NT, 8, 256] f32 output planes."""
+    nt, kp = page_rows.shape
+    np_, s3 = pool_sdf8.shape
+    kernel = functools.partial(
+        _raycast_kernel,
+        kp=kp,
+        t_march=t_march,
+        step_scale=step_scale,
+        grid_dims=grid_dims,
+        grid_origin=grid_origin,
+        block_size=block_size,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, kp), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, kp), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, NRAY), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_, s3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, NRAY), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((kp, s3), jnp.bfloat16),
+            pltpu.VMEM((kp, NRAY), jnp.int32),
+            pltpu.VMEM((8 * kp, s3), jnp.bfloat16),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nt, 8, NRAY), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(page_rows, page_key, rays, pool_sdf8)
+
+
+# --------------------------------------------------------------------------
+# XLA-side glue: tileization, page lists, full-image wrapper
+# --------------------------------------------------------------------------
+
+def tileize(img: jnp.ndarray, tile: int = TILE) -> jnp.ndarray:
+    """[H, W] → [NT, tile²] (row-major tiles)."""
+    H, W = img.shape[:2]
+    th, tw = H // tile, W // tile
+    return (
+        img.reshape(th, tile, tw, tile)
+        .transpose(0, 2, 1, 3)
+        .reshape(th * tw, tile * tile)
+    )
+
+
+def untileize(rows: jnp.ndarray, img_size: Tuple[int, int], tile: int = TILE) -> jnp.ndarray:
+    H, W = img_size
+    th, tw = H // tile, W // tile
+    return (
+        rows.reshape(th, tw, tile, tile).transpose(0, 2, 1, 3).reshape(H, W)
+    )
+
+
+def build_page_lists(
+    pt_start: jnp.ndarray,  # [H, W, 3] voxel units
+    ray_dir: jnp.ndarray,  # [H, W, 3]
+    march_len: jnp.ndarray,  # [H, W] voxel units (len_end − len_start)
+    grid_pool: jnp.ndarray,  # [G³] int32 flat cell → pool row (−1)
+    kp: int,
+    n_probe: int = 12,
+    block_size: int = 8,
+    grid_dims: Tuple[int, int, int] = (64, 64, 64),
+    grid_origin: Tuple[int, int, int] = (-32, -32, 0),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-tile page lists: probe a 3×3 ray grid of each tile at `n_probe`
+    depths, map the touched blocks through the pool grid, dedupe per tile.
+    Returns (page_rows [NT, KP], page_key [NT, KP])."""
+    H, W = march_len.shape
+    th, tw = H // TILE, W // TILE
+    nt = th * tw
+    gx_d, gy_d, gz_d = grid_dims
+    ox, oy, oz = grid_origin
+
+    # probe rays: tile-corner + mid positions (0, 7/8, 15 within the tile)
+    sel = jnp.array([0, TILE // 2, TILE - 1])
+    ys = (jnp.arange(th)[:, None] * TILE + sel[None, :]).reshape(-1)  # [th·3]
+    xs = (jnp.arange(tw)[:, None] * TILE + sel[None, :]).reshape(-1)
+    sub_start = pt_start[ys][:, xs]  # [th·3, tw·3, 3]
+    sub_dir = ray_dir[ys][:, xs]
+    sub_len = march_len[ys][:, xs]
+
+    t = jnp.linspace(0.0, 1.0, n_probe, dtype=jnp.float32)
+    pts = (
+        sub_start[:, :, None, :]
+        + sub_dir[:, :, None, :] * (sub_len[:, :, None, None] * t[None, None, :, None])
+    )  # [th·3, tw·3, n_probe, 3]
+    # also the half-step midpoints so a grazing ray can't skip a block
+    blocks = jnp.floor((pts + 0.5) / block_size).astype(jnp.int32)
+    g = blocks - jnp.array([ox, oy, oz], dtype=jnp.int32)
+    inb = (
+        (g[..., 0] >= 0) & (g[..., 0] < gx_d)
+        & (g[..., 1] >= 0) & (g[..., 1] < gy_d)
+        & (g[..., 2] >= 0) & (g[..., 2] < gz_d)
+    )
+    key = (g[..., 0] * gy_d + g[..., 1]) * gz_d + g[..., 2]
+    gsize = gx_d * gy_d * gz_d
+    key_c = jnp.clip(key, 0, gsize - 1)
+    row = grid_pool[key_c]
+    valid = inb & (row >= 0)
+
+    # group by tile: [th, 3, tw, 3, n_probe] → [nt, 9·n_probe]
+    keyt = (
+        jnp.where(valid, key, jnp.int32(0x7FFFFFFF))
+        .reshape(th, 3, tw, 3, n_probe)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(nt, 9 * n_probe)
+    )
+    rowt = (
+        row.reshape(th, 3, tw, 3, n_probe)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(nt, 9 * n_probe)
+    )
+
+    # per-tile dedupe: sort keys, keep first occurrences, compact to KP
+    order = jnp.argsort(keyt, axis=1)
+    keys_s = jnp.take_along_axis(keyt, order, axis=1)
+    rows_s = jnp.take_along_axis(rowt, order, axis=1)
+    uniq = jnp.concatenate(
+        [
+            jnp.ones((nt, 1), bool),
+            keys_s[:, 1:] != keys_s[:, :-1],
+        ],
+        axis=1,
+    ) & (keys_s != 0x7FFFFFFF)
+    rank = jnp.cumsum(uniq.astype(jnp.int32), axis=1) - 1
+    dst = jnp.where(uniq & (rank < kp), rank, kp)  # kp → dropped
+    tile_idx = jnp.broadcast_to(jnp.arange(nt)[:, None], dst.shape)
+    page_key = jnp.full((nt, kp + 1), -2, jnp.int32).at[tile_idx, dst].set(
+        jnp.where(uniq, keys_s, -2), mode="drop"
+    )[:, :kp]
+    page_rows = jnp.full((nt, kp + 1), -1, jnp.int32).at[tile_idx, dst].set(
+        jnp.where(uniq, rows_s, -1), mode="drop"
+    )[:, :kp]
+    return page_rows, page_key

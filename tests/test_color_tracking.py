@@ -37,11 +37,13 @@ def test_color_fusion_stores_scene_color():
     vol, rs, st, _ = hp.process_frame_hash(
         vol, rs, st, View(depth=depth, rgb=rgb), PROJ, SETTINGS, proj_rgb=PROJ
     )
-    assert vol.clr is not None
-    wc = np.asarray(vol.w_color)
+    assert vol.vox_rgb is not None
+    from infinitam_tpu.engine import hash_volume as hv
+
+    wc = np.asarray(hv.rgb_wc(vol.vox_rgb))
     assert (wc > 0).sum() > 1000
     # fused colours where weighted should be non-trivial
-    clr = np.asarray(vol.clr)
+    clr = np.asarray(hv.rgb_clr_q(vol.vox_rgb))
     touched = clr[wc > 0]
     assert touched.std() > 0.05
 

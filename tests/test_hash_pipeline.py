@@ -151,13 +151,13 @@ def test_divergence_keeps_last_good_pose_and_map():
         vol, rs, state, diag = hp.process_frame_hash(vol, rs, state, View(depth=depth), proj, S)
 
     pose_before = np.asarray(state.pose)
-    sdf_sum_before = float(jnp.sum(jnp.abs(vol.voxel_sdf.astype(jnp.int32) - 32767)))
+    sdf_sum_before = float(jnp.sum(jnp.abs(hv.vox_sdf_q(vol.vox) - 32767)))
 
     garbage = jnp.full(img, -1.0, dtype=jnp.float32)  # no valid depth at all
     vol, rs, state, diag = hp.process_frame_hash(vol, rs, state, View(depth=garbage), proj, S)
     assert float(diag.f) >= S.tracking.divergence_f_threshold
     np.testing.assert_allclose(np.asarray(state.pose), pose_before, atol=1e-7)
-    sdf_sum_after = float(jnp.sum(jnp.abs(vol.voxel_sdf.astype(jnp.int32) - 32767)))
+    sdf_sum_after = float(jnp.sum(jnp.abs(hv.vox_sdf_q(vol.vox) - 32767)))
     np.testing.assert_allclose(sdf_sum_after, sdf_sum_before, rtol=1e-6)
 
     depth, _rgb, gt = src.get_images()

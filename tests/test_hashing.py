@@ -120,7 +120,9 @@ def test_hash_reader_roundtrip():
     pr = _probe_jit(vol, jnp.array([0, 0, 0], dtype=jnp.int32))
     blk = int(pr.entry_ptr)
     # write a voxel: global (3, 4, 5) in block (0,0,0) → linear 3+4·8+5·64
-    vol = vol._replace(voxel_sdf=vol.voxel_sdf.at[blk, 3 + 32 + 320].set(hv.sdf_to_q(-0.5)))
+    vol = vol._replace(
+        vox=vol.vox.at[blk, 3 + 32 + 320].set(hv.pack_vox(hv.sdf_to_q(-0.5), 1))
+    )
     read = hv.make_hash_reader(vol, HP)
     sdf, found = read(jnp.array([3, 4, 5], dtype=jnp.int32))
     assert bool(found) and abs(float(sdf) + 0.5) < 1e-4

@@ -105,5 +105,5 @@ def test_checkpoint_resume_identical_continuation(tmp_path):
     delta = se3_log(jnp.asarray(eng.tracking_state.pose) @ invert(jnp.asarray(eng2.tracking_state.pose)))
     assert float(jnp.linalg.norm(delta)) < 1e-5
     np.testing.assert_allclose(
-        np.asarray(eng.vol.voxel_sdf), np.asarray(eng2.vol.voxel_sdf), atol=1e-6
+        np.asarray(eng.vol.vox), np.asarray(eng2.vol.vox), atol=1e-6
     )

@@ -55,8 +55,7 @@ def test_evict_and_reload_roundtrip():
     entry_idx = int(pr.entry_idx)
     blk = int(pr.entry_ptr)
     vol = vol._replace(
-        voxel_sdf=vol.voxel_sdf.at[blk].set(hv.sdf_to_q(-0.25)),
-        voxel_w=vol.voxel_w.at[blk].set(jnp.uint8(7)),
+        vox=vol.vox.at[blk].set(hv.pack_vox(hv.sdf_to_q(-0.25), 7)),
     )
     swap_states = swap_states.at[entry_idx].set(2)  # device newest
     free_before = int(vol.last_free_block)
@@ -85,8 +84,8 @@ def test_evict_and_reload_roundtrip():
     vol, swap_states = sw.swap_in(vol, swap_states, cache, S)
     assert int(swap_states[entry_idx]) == 2
     new_blk = int(vol.entry_ptr[entry_idx])
-    np.testing.assert_allclose(np.asarray(hv.sdf_from_q(vol.voxel_sdf[new_blk])), -0.25, atol=1e-4)
-    assert (np.asarray(vol.voxel_w[new_blk]) == 7).all()
+    np.testing.assert_allclose(np.asarray(hv.vox_sdf(vol.vox[new_blk])), -0.25, atol=1e-4)
+    assert (np.asarray(hv.vox_w(vol.vox[new_blk])) == 7).all()
 
 
 def test_e2e_with_swapping_tracks():
@@ -145,13 +144,19 @@ def test_combine_voxel_depth_golden():
     dst_sdf = np.round(dst_sdf * 32767) / 32767
     src_sdf = np.round(src_sdf * 32767) / 32767
     vol = vol._replace(
-        voxel_sdf=vol.voxel_sdf.at[blk].set(hv.sdf_to_q(jnp.asarray(dst_sdf))),
-        voxel_w=vol.voxel_w.at[blk].set(jnp.asarray(dst_w).astype(jnp.uint8)),
+        vox=vol.vox.at[blk].set(
+            hv.pack_vox(hv.sdf_to_q(jnp.asarray(dst_sdf)), jnp.asarray(dst_w))
+        ),
     )
 
     cap = hp_.n_transfer_blocks
     ids = jnp.full((cap,), -1, jnp.int32).at[0].set(entry_idx)
-    buf_sdf = jnp.full((cap, S3), 32767, jnp.int16).at[0].set(hv.sdf_to_q(jnp.asarray(src_sdf)))
+    buf_sdf = (
+        jnp.full((cap, S3), 32767, jnp.int32)
+        .at[0]
+        .set(hv.sdf_to_q(jnp.asarray(src_sdf)))
+        .astype(jnp.int16)
+    )
     buf_w = jnp.zeros((cap, S3), jnp.uint8).at[0].set(jnp.asarray(src_w).astype(jnp.uint8))
     has = jnp.zeros((cap,), bool).at[0].set(True)
     vol2, swap_states = sw.merge_swapped_in(vol, swap_states, ids, buf_sdf, buf_w, has, S)
@@ -166,8 +171,8 @@ def test_combine_voxel_depth_golden():
         newF = (oldW * src_sdf[i] + newW * dst_sdf[i]) / (oldW + newW)
         want_sdf[i] = newF
         want_w[i] = min(oldW + newW, max_w)
-    np.testing.assert_allclose(np.asarray(hv.sdf_from_q(vol2.voxel_sdf[blk])), want_sdf, atol=1e-4)
-    np.testing.assert_array_equal(np.asarray(vol2.voxel_w[blk]), want_w)
+    np.testing.assert_allclose(np.asarray(hv.vox_sdf(vol2.vox[blk])), want_sdf, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(hv.vox_w(vol2.vox[blk])), want_w)
     assert int(swap_states[entry_idx]) == 2
 
 
@@ -191,10 +196,10 @@ def test_swap_color_roundtrip():
     entry_idx = int(pr.entry_idx)
     blk = int(pr.entry_ptr)
     vol = vol._replace(
-        voxel_sdf=vol.voxel_sdf.at[blk].set(hv.sdf_to_q(-0.5)),
-        voxel_w=vol.voxel_w.at[blk].set(jnp.uint8(9)),
-        clr=vol.clr.at[blk].set(hv.clr_to_q(jnp.array([0.25, 0.5, 0.75]))),
-        w_color=vol.w_color.at[blk].set(jnp.uint8(5)),
+        vox=vol.vox.at[blk].set(hv.pack_vox(hv.sdf_to_q(-0.5), 9)),
+        vox_rgb=vol.vox_rgb.at[blk].set(
+            hv.pack_rgb(hv.clr_to_q(jnp.array([0.25, 0.5, 0.75])), 5)
+        ),
     )
     swap_states = swap_states.at[entry_idx].set(2)
 
@@ -207,13 +212,17 @@ def test_swap_color_roundtrip():
     np.testing.assert_allclose(cache.stored_clr[entry_idx] / 255.0, np.tile([0.25, 0.5, 0.75], (hp_.block_volume, 1)), atol=1e-2)
     assert (cache.stored_wc[entry_idx] == 5).all()
     # evicted block cleared, color too
-    assert float(jnp.max(jnp.abs(vol.clr[int(pr.entry_ptr)]))) == 0.0
+    assert float(jnp.max(jnp.abs(vol.vox_rgb[int(pr.entry_ptr)]))) == 0.0
 
     vt2 = jnp.zeros((hp_.n_entries,), jnp.int32).at[entry_idx].set(hv.VT_VISIBLE_SWAPPED)
     vol = sw.reallocate_swapped_out(vol, vt2, S)
     swap_states = sw.mark_visible_for_swap(swap_states, vt2)
     vol, swap_states = sw.swap_in(vol, swap_states, cache, S)
     new_blk = int(vol.entry_ptr[entry_idx])
-    np.testing.assert_allclose(np.asarray(hv.clr_from_q(vol.clr[new_blk])), np.tile([0.25, 0.5, 0.75], (hp_.block_volume, 1)), atol=1e-2)
-    assert (np.asarray(vol.w_color[new_blk]) == 5).all()
-    np.testing.assert_allclose(np.asarray(hv.sdf_from_q(vol.voxel_sdf[new_blk])), -0.5, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(hv.clr_from_q(hv.rgb_clr_q(vol.vox_rgb[new_blk]))),
+        np.tile([0.25, 0.5, 0.75], (hp_.block_volume, 1)),
+        atol=1e-2,
+    )
+    assert (np.asarray(hv.rgb_wc(vol.vox_rgb[new_blk])) == 5).all()
+    np.testing.assert_allclose(np.asarray(hv.vox_sdf(vol.vox[new_blk])), -0.5, atol=1e-4)

@@ -144,6 +144,12 @@ class Settings:
     # straggler compaction in the march (ops/raycast.py) the coarse pass
     # rarely pays for itself, so it is off by default.
     raycast_coarse_factor: int = 1
+    # Flagship Pallas raycast kernel (ops/pallas/raycast_kernel.py): used on
+    # TPU when the image tiles evenly; CPU (tests) and odd sizes fall back to
+    # the XLA oracle march in ops/raycast.py.
+    use_pallas_raycast: bool = True
+    raycast_t_march: int = 64  # static bound on adaptive march steps per ray
+    raycast_pages_per_tile: int = 48  # KP: voxel blocks resident per 16×16 tile
     tracking: TrackingParams = TrackingParams()
     tracker_type: TrackerType = TrackerType.ICP
     swapping_mode: SwappingMode = SwappingMode.DISABLED
@@ -161,6 +167,13 @@ class Settings:
     # 0 → process the whole visible list. Wired in
     # hash_pipeline.integrate_into_scene and the Pallas integrate kernel.
     max_fused_blocks: int = 8192
+    # Static cap on visible blocks rasterized into the expected-depth minmax
+    # image per frame (same graceful-degradation semantics as above).
+    max_render_blocks: int = 8192
+    # Static cap on NEW blocks allocated per frame (the reference's analogue
+    # is the free-list supply itself; typical frames allocate a few hundred,
+    # the first frame a few thousand — overflow defers to the next frame).
+    max_alloc_blocks: int = 8192
 
     def replace(self, **kw) -> "Settings":
         return dataclasses.replace(self, **kw)

@@ -35,6 +35,10 @@ from infinitam_tpu.utils import se3
 # so ≤ 1 + 3 axis crossings + slack; 6 covers all sane configs)
 MAX_BAND_STEPS = 6
 
+# static capacity for out-of-working-grid allocation candidates per frame
+# (typically zero; candidates beyond the cap defer to the next frame)
+OOG_CAP = 2048
+
 
 class FrameDiagnostics(NamedTuple):
     f: jnp.ndarray
@@ -61,6 +65,7 @@ def allocate_scene_from_depth(
     sp = settings.scene
     img_size = depth.shape
 
+    E = hp.n_entries
     visible_type = hv.set_previous_visible(render_state)
 
     # Allocation rays from a subsampled depth grid: a block spans ~8+ pixels,
@@ -86,22 +91,65 @@ def allocate_scene_from_depth(
     cand = blocks.reshape(-1, 3)
     cand_valid = valid.reshape(-1) & enable
 
-    # Round 1: plan + execute over all candidates. The scatter race lets one
-    # NEW block win a contended bucket (the reference defers losers to the
-    # next FRAME — ITMSceneReconstructionEngine_CUDA.cu's benign race).
-    plan = hv.plan_allocations(vol, visible_type, cand, cand_valid, hp)
-    if only_update_visible:
-        visible_type = plan.visible_type
-    else:
-        vol, visible_type = hv.execute_allocations(vol, plan, hp)
-        # Round 2 over the COMPACTED retry set (race losers + excess misses):
-        # removes the reference's first-frame pinholes at negligible cost.
-        retry_cap = min(8192, cand.shape[0])
-        ridx = jnp.nonzero(plan.cand_need, size=retry_cap, fill_value=-1)[0]
-        rvalid = ridx >= 0
-        rcand = cand[jnp.clip(ridx, 0, cand.shape[0] - 1)]
-        plan2 = hv.plan_allocations(vol, visible_type, rcand, rvalid, hp)
-        vol, visible_type = hv.execute_allocations(vol, plan2, hp)
+    # Candidate-space allocation (TPU-native redesign of
+    # buildHashAllocAndVisibleType + allocateVoxelBlocksList, reference
+    # _CUDA.cu:350-415): instead of hash-probing every candidate (4-link
+    # chain gathers × |cand| was round 1's 500 ms), candidates tap the dense
+    # entry grid once; only the few-k NEW cells (deduped via a want-plane
+    # scatter) and the rare out-of-grid candidates reach the hash.
+    gp = settings.block_grid
+    gx, gy, gz = gp.dims
+    G3 = gx * gy * gz
+    origin = jnp.array(gp.origin, dtype=jnp.int32)
+    g = cand - origin
+    in_grid = (
+        (g[:, 0] >= 0) & (g[:, 0] < gx)
+        & (g[:, 1] >= 0) & (g[:, 1] < gy)
+        & (g[:, 2] >= 0) & (g[:, 2] < gz)
+    )
+    cell = (g[:, 0] * gy + g[:, 1]) * gz + g[:, 2]
+    entry_grid = hv.build_entry_grid(vol, gp)
+    code = entry_grid[jnp.clip(cell, 0, G3 - 1)]
+    known = cand_valid & in_grid & (code >= 0)
+
+    # visibility marks for known entries: 2 if swapped out, 1 otherwise
+    eidx = code >> 1
+    vis_val = jnp.where((code & 1) == 1, hv.VT_VISIBLE_SWAPPED, hv.VT_VISIBLE)
+    visible_type = visible_type.at[jnp.where(known, eidx, E)].set(
+        jnp.where(known, vis_val, 0), mode="drop"
+    )
+
+    # out-of-grid candidates fall back to hash probing (unbounded world —
+    # the grid is an accelerator, the hash stays canonical)
+    oog = cand_valid & ~in_grid
+    oidx = jnp.nonzero(oog, size=OOG_CAP, fill_value=-1)[0]
+    ocand = cand[jnp.clip(oidx, 0, cand.shape[0] - 1)]
+    ovalid = oidx >= 0
+    opr = hv.probe(vol, ocand, hp, include_swapped=True)
+    ofound = ovalid & opr.found
+    ovis = jnp.where(opr.entry_ptr == hv.SWAPPED_PTR, hv.VT_VISIBLE_SWAPPED, hv.VT_VISIBLE)
+    visible_type = visible_type.at[jnp.where(ofound, opr.entry_idx, E)].set(
+        jnp.where(ofound, ovis, 0), mode="drop"
+    )
+
+    if not only_update_visible:
+        # new in-grid cells: dedupe via a want-plane, compact, insert once
+        want_at = jnp.where(cand_valid & in_grid & (code < 0), cell, G3)
+        want = jnp.zeros((G3 + 1,), jnp.bool_).at[want_at].set(True, mode="drop")
+        ncell = jnp.nonzero(want[:G3], size=settings.max_alloc_blocks, fill_value=-1)[0]
+        ncell_c = jnp.clip(ncell, 0, G3 - 1)
+        nblocks = jnp.stack(
+            [ncell_c // (gy * gz), (ncell_c // gz) % gy, ncell_c % gz], axis=-1
+        ).astype(jnp.int32) + origin
+        vol, visible_type = hv.insert_blocks(vol, visible_type, nblocks, ncell >= 0, hp)
+        # round 2 on the same set: same-bucket losers of round 1 (distinct
+        # blocks electing one winner per chain tail) insert now instead of
+        # deferring a frame — removes the reference's first-frame pinholes
+        # (insert_blocks re-probes, so already-inserted blocks are no-ops)
+        vol, visible_type = hv.insert_blocks(vol, visible_type, nblocks, ncell >= 0, hp)
+        vol, visible_type = hv.insert_blocks(
+            vol, visible_type, ocand, ovalid & ~opr.found, hp
+        )
 
     use_swapping = settings.swapping_mode.value == "enabled"
     new_rs = hv.build_visible_list(
@@ -230,6 +278,10 @@ def expected_depth_ranges(
     fx, fy, cx, cy = proj[0], proj[1], proj[2], proj[3]
 
     ids = render_state.visible_ids
+    # work ∝ visibility (the reference's grid=noVisibleEntries launch):
+    # static cap, overflow blocks fall out of the minmax image this frame
+    if settings.max_render_blocks and settings.max_render_blocks < ids.shape[0]:
+        ids = ids[: settings.max_render_blocks]
     ids_c = jnp.clip(ids, 0, hp.n_entries - 1)
     ptr = vol.entry_ptr[ids_c]
     bpos = vol.entry_pos[ids_c].astype(jnp.float32)
@@ -301,6 +353,89 @@ def expected_depth_ranges(
     return zmin_img[rows][:, cols], zmax_img[rows][:, cols]
 
 
+def raycast_hash_pallas(
+    vol: HashVolume,
+    render_state: RenderStateVH,
+    pose: jnp.ndarray,
+    proj: jnp.ndarray,
+    img_size: Tuple[int, int],
+    settings: Settings,
+    interpret: bool = False,
+) -> rc.RaycastResult:
+    """Flagship TPU raycast: pooled-page Pallas kernel (see
+    ops/pallas/raycast_kernel.py for the design; reference hot loop:
+    genericRaycast_device → castRay). XLA side builds the int8 SDF pool of
+    visible blocks (one row gather), the cell→pool-row grid, and per-tile
+    page lists; the kernel marches 16×16-pixel tiles on the MXU."""
+    from infinitam_tpu.ops.pallas import raycast_kernel as rk
+
+    sp = settings.scene
+    hp = settings.hashing
+    gp = settings.block_grid
+    H, W = img_size
+    zmin, zmax = expected_depth_ranges(vol, render_state, pose, proj, img_size, settings)
+
+    # --- int8 SDF pool of the visible blocks (top byte of the packed voxel
+    # lane = sdf×~128; the kernel divides by 128) ------------------------
+    NP = settings.max_render_blocks or hp.max_visible_blocks
+    ids = render_state.visible_ids[:NP]
+    ids_c = jnp.clip(ids, 0, hp.n_entries - 1)
+    ptr = vol.entry_ptr[ids_c]
+    bpos = vol.entry_pos[ids_c]
+    valid = (ids >= 0) & (ptr >= 0)
+    ptr_c = jnp.where(valid, ptr, 0)
+    pool = (vol.vox[ptr_c] >> 24).astype(jnp.int8)  # [NP, S³]
+    pool = jnp.where(valid[:, None], pool, jnp.int8(127))  # empty rows read +1
+
+    # --- rays + per-tile page lists --------------------------------------
+    inv_M = se3.invert(pose)
+    pt_start, ray_dir, len_start, len_end = rc.pixel_rays(
+        inv_M, proj, img_size, 1.0 / sp.voxel_size, zmin, zmax
+    )
+    march_len = jnp.maximum(len_end - len_start, 0.0)
+    page_rows, page_key = rk.build_page_lists(
+        bpos, valid, pose, proj, img_size, sp.voxel_size,
+        block_size=hp.block_size,
+        kp=settings.raycast_pages_per_tile,
+        grid_dims=gp.dims, grid_origin=gp.origin,
+        z_far=sp.view_frustum_max * 2.0,
+    )
+    active = (march_len > 1e-3).astype(jnp.float32)
+    planes = [
+        pt_start[..., 0], pt_start[..., 1], pt_start[..., 2],
+        ray_dir[..., 0], ray_dir[..., 1], ray_dir[..., 2],
+        march_len, active,
+    ]
+    rays = jnp.stack([rk.tileize(p) for p in planes], axis=1)  # [NT, 8, 256]
+
+    out = rk.raycast_tiles(
+        page_rows, page_key, rays, pool,
+        t_march=settings.raycast_t_march,
+        step_scale=sp.mu / sp.voxel_size,
+        grid_dims=gp.dims, grid_origin=gp.origin,
+        block_size=hp.block_size,
+        interpret=interpret,
+    )
+    px = rk.untileize(out[:, 0, :], img_size)
+    py = rk.untileize(out[:, 1, :], img_size)
+    pz = rk.untileize(out[:, 2, :], img_size)
+    found = rk.untileize(out[:, 3, :], img_size)
+    points = jnp.stack([px, py, pz, jnp.where(found > 0.5, 1.0, 0.0)], axis=-1)
+    return rc.RaycastResult(points=points)
+
+
+def _pallas_raycast_available(img_size: Tuple[int, int], settings: Settings) -> bool:
+    import jax as _jax
+
+    H, W = img_size
+    return (
+        settings.use_pallas_raycast
+        and H % 16 == 0
+        and W % 16 == 0
+        and _jax.default_backend() == "tpu"
+    )
+
+
 def raycast_hash(
     vol: HashVolume,
     render_state: RenderStateVH,
@@ -309,6 +444,8 @@ def raycast_hash(
     img_size: Tuple[int, int],
     settings: Settings,
 ) -> rc.RaycastResult:
+    if _pallas_raycast_available(img_size, settings):
+        return raycast_hash_pallas(vol, render_state, pose, proj, img_size, settings)
     sp = settings.scene
     zmin, zmax = expected_depth_ranges(vol, render_state, pose, proj, img_size, settings)
     if settings.use_block_grid:

@@ -404,6 +404,100 @@ def execute_allocations(
     return new_vol, visible_type
 
 
+def build_entry_grid(vol: HashVolume, grid_params) -> jnp.ndarray:
+    """Dense block→hash-entry index grid over the working volume, the
+    candidate-space allocation accelerator (TPU-native; the reference probes
+    the hash per pixel instead, buildHashAllocAndVisibleTypePP — hash-chain
+    gathers are the TPU budget, one dense-grid tap is ~10× cheaper).
+
+    [G³] flat int32, packed `(entry_idx << 1) | swapped`; −1 = no allocated
+    entry for that cell. Includes swapped-out entries (ptr == −1) so the
+    allocator can mark them visible-swapped instead of re-allocating."""
+    gx, gy, gz = grid_params.dims
+    ox, oy, oz = grid_params.origin
+    p = vol.entry_pos - jnp.array([ox, oy, oz], dtype=jnp.int32)
+    inb = (
+        (vol.entry_ptr >= SWAPPED_PTR)
+        & (p[:, 0] >= 0) & (p[:, 0] < gx)
+        & (p[:, 1] >= 0) & (p[:, 1] < gy)
+        & (p[:, 2] >= 0) & (p[:, 2] < gz)
+    )
+    flat = jnp.where(inb, (p[:, 0] * gy + p[:, 1]) * gz + p[:, 2], gx * gy * gz)
+    E = vol.entry_ptr.shape[0]
+    code = (jnp.arange(E, dtype=jnp.int32) << 1) | (vol.entry_ptr == SWAPPED_PTR)
+    grid = jnp.full((gx * gy * gz,), -1, dtype=jnp.int32)
+    return grid.at[flat].set(jnp.where(inb, code, -1), mode="drop")
+
+
+def insert_blocks(
+    vol: HashVolume,
+    visible_type: jnp.ndarray,  # [E] int32
+    new_blocks: jnp.ndarray,  # [N, 3] int32 block coords, UNKNOWN to the hash
+    valid: jnp.ndarray,  # [N] bool
+    params: VoxelBlockHashParams,
+) -> Tuple[HashVolume, jnp.ndarray]:
+    """Candidate-space hash insertion: probe → per-bucket winner election →
+    free-list pops → entry writes, all O(N) (no [E]-sized cumsum — the
+    round-1 allocator's cost). Reference semantics preserved
+    (allocateVoxelBlocksList_device): contended buckets keep one winner per
+    frame (losers retry next frame — the benign CUDA race), excess chaining
+    via the offset links, new entries marked visible immediately."""
+    E = params.n_entries
+    N = new_blocks.shape[0]
+    pr = probe(vol, new_blocks, params, include_swapped=True)
+    need = valid & ~pr.found
+    a_type = jnp.where(pr.ordered_empty, 1, 2)  # 1 ordered, 2 excess append
+    tidx = jnp.where(need, pr.tail_idx, E)
+
+    # winner election on contended buckets/chain-tails: duplicate-index
+    # scatter (unspecified winner) + gather-back check
+    claim = jnp.full((E + 1,), -1, jnp.int32).at[tidx].set(
+        jnp.arange(N, dtype=jnp.int32), mode="drop"
+    )
+    win = need & (claim[jnp.clip(tidx, 0, E)] == jnp.arange(N))
+
+    # rank ONLY candidates that actually take a resource, so the stack
+    # pointers stay exactly consistent when a free list runs dry (failures
+    # are then always the tail ranks — no stack slot is skipped-but-counted)
+    needs_excess = win & (a_type == 2)
+    excess_rank = jnp.cumsum(needs_excess.astype(jnp.int32)) - 1
+    exl_list_idx = vol.last_free_excess - excess_rank
+    has_excess = needs_excess & (exl_list_idx >= 0)
+    take = win & ((a_type == 1) | has_excess)
+    block_rank = jnp.cumsum(take.astype(jnp.int32)) - 1
+    blk_list_idx = vol.last_free_block - block_rank
+    has_block = take & (blk_list_idx >= 0)
+
+    new_block = vol.alloc_list[jnp.clip(blk_list_idx, 0, vol.alloc_list.shape[0] - 1)]
+    excess_slot = vol.excess_list[jnp.clip(exl_list_idx, 0, vol.excess_list.shape[0] - 1)]
+
+    do1 = has_block & (a_type == 1)
+    do2 = has_block & (a_type == 2)
+    # entry written: the bucket itself (type 1) or a fresh excess child (type 2)
+    child = params.n_buckets + excess_slot
+    widx = jnp.where(do1, tidx, jnp.where(do2, child, E))
+
+    entry_pos = vol.entry_pos.at[widx].set(new_blocks, mode="drop")
+    entry_ptr = vol.entry_ptr.at[widx].set(new_block, mode="drop")
+    entry_offset = vol.entry_offset.at[widx].set(0, mode="drop")
+    # link parent → excess child
+    pidx = jnp.where(do2, tidx, E)
+    entry_offset = entry_offset.at[pidx].set(excess_slot + 1, mode="drop")
+
+    visible_type = visible_type.at[widx].set(VT_VISIBLE, mode="drop")
+
+    n_blocks_taken = jnp.sum((do1 | do2).astype(jnp.int32))
+    n_excess_taken = jnp.sum(do2.astype(jnp.int32))
+    new_vol = vol._replace(
+        entry_pos=entry_pos,
+        entry_ptr=entry_ptr,
+        entry_offset=entry_offset,
+        last_free_block=vol.last_free_block - n_blocks_taken,
+        last_free_excess=vol.last_free_excess - n_excess_taken,
+    )
+    return new_vol, visible_type
+
+
 def build_block_grid(vol: HashVolume, grid_params, params: VoxelBlockHashParams) -> jnp.ndarray:
     """Dense block→VBA-pointer index grid over the working volume (TPU-native
     raycast accelerator; see config.BlockGridParams). [Gx, Gy, Gz] int32 with

@@ -17,9 +17,11 @@ re-derived for the hardware:
     Q = pages[KP,512] @ onehot(linear_idx)[512,256]   (MXU, bf16)
     sdf[r] = Σ_k (page_key[k] == cell_key[r]) · Q[k,r] (VPU)
   — int8 SDF values and one-hots are exact in bfloat16;
-- the march is a fixed-count lock-step sampler over the per-pixel expected
-  depth range [zmin, zmax] (the reference's renderingRangeImage), with a
-  whole-tile early exit once every ray has bracketed a zero crossing;
+- the march is an adaptive lock-step sphere trace (step = max(sdf·mu/voxel,
+  1 voxel), the reference castRay's rule) over the per-pixel expected depth
+  range [zmin, zmax] (the reference's renderingRangeImage), with a
+  whole-tile early exit once every ray has bracketed a zero crossing and a
+  static bound of `t_march` steps;
 - the hit is refined by one secant step on the bracketing samples plus two
   trilinear-refinement rounds (the reference's castRay:141-150), where the 8
   trilinear corners come from ONE stacked matmul over pre-rolled page copies.
@@ -63,8 +65,8 @@ def _cell_key(bx, by, bz, grid_dims, grid_origin):
 
 
 def _raycast_kernel(
-    page_rows_ref,  # SMEM (1, KP) int32 — pool rows per page (−1 empty)
-    page_key_ref,  # SMEM (1, KP) int32 — cell keys per page (−2 empty)
+    page_rows_ref,  # scalar-prefetch SMEM [NT, KP] int32 — pool rows (−1 empty)
+    page_key_ref,  # scalar-prefetch SMEM [NT, KP] int32 — cell keys (−2 empty)
     rays_ref,  # VMEM (1, 8, 256) f32 — ox,oy,oz,dx,dy,dz,L,active
     pool_ref,  # VMEM (NP, 512) int8 — visible-block sdf pool (×128)
     out_ref,  # VMEM (1, 8, 256) f32 — px,py,pz,found,t*,sdf,...
@@ -81,12 +83,13 @@ def _raycast_kernel(
 ):
     S = block_size
     S2 = S * S
+    ti = pl.program_id(0)
 
     # ---- fetch pages from the resident pool + broadcast their keys --------
     def fetch(k, _):
-        row = jnp.maximum(page_rows_ref[0, k], 0)
+        row = jnp.maximum(page_rows_ref[ti, k], 0)
         pages[pl.ds(k, 1), :] = pool_ref[pl.ds(row, 1), :].astype(jnp.bfloat16)
-        keys[pl.ds(k, 1), :] = jnp.full((1, NRAY), page_key_ref[0, k], jnp.int32)
+        keys[pl.ds(k, 1), :] = jnp.full((1, NRAY), page_key_ref[ti, k], jnp.int32)
         return 0
 
     jax.lax.fori_loop(0, kp, fetch, 0, unroll=True)
@@ -98,7 +101,9 @@ def _raycast_kernel(
         if off == 0:
             p8[pl.ds(0, kp), :] = pages[:]
         else:
-            p8[pl.ds(c * kp, kp), :] = pltpu.roll(pages[:], -off, 1)
+            # left-roll by `off` == right-roll by S³ − off (pltpu.roll
+            # requires a non-negative shift)
+            p8[pl.ds(c * kp, kp), :] = pltpu.roll(pages[:], S * S2 - off, 1)
 
     o_x = rays_ref[0, 0:1, :]
     o_y = rays_ref[0, 1:2, :]
@@ -108,8 +113,6 @@ def _raycast_kernel(
     d_z = rays_ref[0, 5:6, :]
     lray = rays_ref[0, 6:7, :]
     act0 = rays_ref[0, 7:8, :] > 0.5
-
-    ds = jnp.maximum(lray, 1e-6) * (1.0 / (t_march - 1))
 
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (512, NRAY), 0)
 
@@ -137,32 +140,38 @@ def _raycast_kernel(
         matched = jnp.sum(ohk.astype(jnp.float32), axis=0, keepdims=True) > 0.0
         return jnp.where(matched, val * (1.0 / 128.0), 1.0)
 
-    # ---- march: fixed-step sampler with whole-tile early exit -------------
+    # ---- march: adaptive sphere-trace with whole-tile early exit ----------
+    # step = max(sdf · mu/voxelSize, 1 voxel) like the reference castRay
+    # (a fixed-count sampler can skip the ±mu band at grazing incidence);
+    # t_march bounds the step count, crawling stragglers give up at the bound
     def march_body(state):
-        j, sdf_prev, t_prev, found, t_star, sdf_lo, sdf_hi = state
-        tj = ds * jnp.float32(j)
-        sdf = tap(o_x + d_x * tj, o_y + d_y * tj, o_z + d_z * tj)
+        j, t_cur, sdf_prev, t_prev, found, t_star, sdf_lo, sdf_hi = state
+        sdf = tap(o_x + d_x * t_cur, o_y + d_y * t_cur, o_z + d_z * t_cur)
         cross = (~found) & act0 & (sdf <= 0.0)
         # secant between the bracketing samples (sdf_prev > 0 ≥ sdf)
         denom = sdf_prev - sdf
         frac = jnp.where(jnp.abs(denom) > 1e-12, sdf_prev / denom, 0.0)
-        t_hit = t_prev + (tj - t_prev) * jnp.clip(frac, 0.0, 1.0)
+        t_hit = t_prev + (t_cur - t_prev) * jnp.clip(frac, 0.0, 1.0)
         t_star = jnp.where(cross, t_hit, t_star)
         sdf_lo = jnp.where(cross, sdf_prev, sdf_lo)
         sdf_hi = jnp.where(cross, sdf, sdf_hi)
         found = found | cross
-        return j + 1, sdf, tj, found, t_star, sdf_lo, sdf_hi
+        advance = (~found) & act0 & (t_cur <= lray)
+        step = jnp.maximum(sdf * step_scale, 1.0)
+        t_next = jnp.where(advance, t_cur + step, t_cur)
+        return j + 1, t_next, sdf, t_cur, found, t_star, sdf_lo, sdf_hi
 
     def march_cond(state):
-        j, _sdf, _t, found, *_ = state
-        return (j < t_march) & ~jnp.all(found | ~act0)
+        j, t_cur, _sdf, _t, found, *_ = state
+        live = act0 & (~found) & (t_cur <= lray)
+        return (j < t_march) & jnp.any(live)
 
     one = jnp.ones((1, NRAY), jnp.float32)
     zero = jnp.zeros((1, NRAY), jnp.float32)
     init = (
-        jnp.int32(0), one, zero, jnp.zeros((1, NRAY), bool), zero, one, -one
+        jnp.int32(0), zero, one, zero, jnp.zeros((1, NRAY), bool), zero, one, -one
     )
-    _j, sdf_last, _t, found, t_star, _lo, _hi = jax.lax.while_loop(
+    _j, _tc, sdf_last, _t, found, t_star, _lo, _hi = jax.lax.while_loop(
         march_cond, march_body, init
     )
 
@@ -254,15 +263,13 @@ def raycast_tiles(
         block_size=block_size,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=2,  # page_rows, page_key live whole in SMEM
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((1, kp), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, kp), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, NRAY), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((np_, s3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, NRAY), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_, s3), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, NRAY), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 8, NRAY), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((kp, s3), jnp.bfloat16),
             pltpu.VMEM((kp, NRAY), jnp.int32),
@@ -301,83 +308,107 @@ def untileize(rows: jnp.ndarray, img_size: Tuple[int, int], tile: int = TILE) ->
 
 
 def build_page_lists(
-    pt_start: jnp.ndarray,  # [H, W, 3] voxel units
-    ray_dir: jnp.ndarray,  # [H, W, 3]
-    march_len: jnp.ndarray,  # [H, W] voxel units (len_end − len_start)
-    grid_pool: jnp.ndarray,  # [G³] int32 flat cell → pool row (−1)
-    kp: int,
-    n_probe: int = 12,
+    block_pos: jnp.ndarray,  # [NP, 3] int32 block coords of the pool rows
+    valid: jnp.ndarray,  # [NP] bool
+    pose: jnp.ndarray,  # [4,4] world→camera
+    proj: jnp.ndarray,  # (fx, fy, cx, cy)
+    img_size: Tuple[int, int],
+    voxel_size: float,
     block_size: int = 8,
+    kp: int = 48,
     grid_dims: Tuple[int, int, int] = (64, 64, 64),
     grid_origin: Tuple[int, int, int] = (-32, -32, 0),
+    tb: int = 6,
+    z_far: float = 8.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-tile page lists: probe a 3×3 ray grid of each tile at `n_probe`
-    depths, map the touched blocks through the pool grid, dedupe per tile.
-    Returns (page_rows [NT, KP], page_key [NT, KP])."""
-    H, W = march_len.shape
+    """Exact per-tile page lists by rasterizing the visible blocks' projected
+    bboxes into the 16×16-pixel tile grid (the page-list analogue of the
+    reference's ProjectSingleBlock/CreateRenderingBlocks rasterization,
+    DeviceAgnostic/ITMVisualisationEngine.h:28-90) — unlike ray probing this
+    cannot miss a block a tile's pencil touches.
+
+    Slots are assigned NEAR-FIRST (sorted by camera z), so if a tile sees more
+    than `kp` blocks the dropped ones are the farthest — which the rays would
+    usually never reach anyway. Block footprints are capped at `tb`×`tb` tiles
+    (blocks closer than ~2 block-lengths may lose lateral tiles).
+
+    Returns (page_rows [NT, KP] pool-row or −1, page_key [NT, KP] cell or −2).
+    """
+    H, W = img_size
     th, tw = H // TILE, W // TILE
     nt = th * tw
     gx_d, gy_d, gz_d = grid_dims
     ox, oy, oz = grid_origin
+    NP = block_pos.shape[0]
+    fx, fy, cx, cy = proj[0], proj[1], proj[2], proj[3]
+    factor = block_size * voxel_size
 
-    # probe rays: tile-corner + mid positions (0, 7/8, 15 within the tile)
-    sel = jnp.array([0, TILE // 2, TILE - 1])
-    ys = (jnp.arange(th)[:, None] * TILE + sel[None, :]).reshape(-1)  # [th·3]
-    xs = (jnp.arange(tw)[:, None] * TILE + sel[None, :]).reshape(-1)
-    sub_start = pt_start[ys][:, xs]  # [th·3, tw·3, 3]
-    sub_dir = ray_dir[ys][:, xs]
-    sub_len = march_len[ys][:, xs]
-
-    t = jnp.linspace(0.0, 1.0, n_probe, dtype=jnp.float32)
-    pts = (
-        sub_start[:, :, None, :]
-        + sub_dir[:, :, None, :] * (sub_len[:, :, None, None] * t[None, None, :, None])
-    )  # [th·3, tw·3, n_probe, 3]
-    # also the half-step midpoints so a grazing ray can't skip a block
-    blocks = jnp.floor((pts + 0.5) / block_size).astype(jnp.int32)
-    g = blocks - jnp.array([ox, oy, oz], dtype=jnp.int32)
+    # cell keys of the pool rows (−2 invalid)
+    g = block_pos - jnp.array([ox, oy, oz], dtype=jnp.int32)
     inb = (
-        (g[..., 0] >= 0) & (g[..., 0] < gx_d)
-        & (g[..., 1] >= 0) & (g[..., 1] < gy_d)
-        & (g[..., 2] >= 0) & (g[..., 2] < gz_d)
+        valid
+        & (g[:, 0] >= 0) & (g[:, 0] < gx_d)
+        & (g[:, 1] >= 0) & (g[:, 1] < gy_d)
+        & (g[:, 2] >= 0) & (g[:, 2] < gz_d)
     )
-    key = (g[..., 0] * gy_d + g[..., 1]) * gz_d + g[..., 2]
-    gsize = gx_d * gy_d * gz_d
-    key_c = jnp.clip(key, 0, gsize - 1)
-    row = grid_pool[key_c]
-    valid = inb & (row >= 0)
+    cell = (g[:, 0] * gy_d + g[:, 1]) * gz_d + g[:, 2]
 
-    # group by tile: [th, 3, tw, 3, n_probe] → [nt, 9·n_probe]
-    keyt = (
-        jnp.where(valid, key, jnp.int32(0x7FFFFFFF))
-        .reshape(th, 3, tw, 3, n_probe)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(nt, 9 * n_probe)
-    )
-    rowt = (
-        row.reshape(th, 3, tw, 3, n_probe)
-        .transpose(0, 2, 1, 3, 4)
-        .reshape(nt, 9 * n_probe)
-    )
+    # project the 8 corners → pixel bbox + near z
+    bposf = block_pos.astype(jnp.float32)
+    us, vs, zs = [], [], []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                corner = (bposf + jnp.array([dx, dy, dz], jnp.float32)) * factor
+                pc = jnp.einsum("ij,nj->ni", pose[:3, :3], corner) + pose[:3, 3]
+                z = pc[:, 2]
+                ok = z > 1e-6
+                zsafe = jnp.where(ok, z, 1.0)
+                us.append(jnp.where(ok, fx * pc[:, 0] / zsafe + cx, jnp.where(z <= 0, -1e9, 1e9)))
+                vs.append(jnp.where(ok, fy * pc[:, 1] / zsafe + cy, jnp.where(z <= 0, -1e9, 1e9)))
+                zs.append(z)
+    U = jnp.stack(us, -1)
+    V = jnp.stack(vs, -1)
+    Z = jnp.stack(zs, -1)
+    # a block partly behind the camera floods laterally; cover the full tile
+    # rows/cols its visible corners span (rare: only very-near blocks)
+    t0u = jnp.clip(jnp.floor(jnp.min(U, -1) / TILE).astype(jnp.int32), 0, tw - 1)
+    t1u = jnp.clip(jnp.floor(jnp.max(U, -1) / TILE).astype(jnp.int32), 0, tw - 1)
+    t0v = jnp.clip(jnp.floor(jnp.min(V, -1) / TILE).astype(jnp.int32), 0, th - 1)
+    t1v = jnp.clip(jnp.floor(jnp.max(V, -1) / TILE).astype(jnp.int32), 0, th - 1)
+    offscreen = (jnp.max(U, -1) < 0) | (jnp.min(U, -1) >= W) | (jnp.max(V, -1) < 0) | (jnp.min(V, -1) >= H)
+    znear = jnp.maximum(jnp.min(Z, -1), 1e-3)
+    live = inb & ~offscreen & jnp.any(Z > 0, -1)
 
-    # per-tile dedupe: sort keys, keep first occurrences, compact to KP
-    order = jnp.argsort(keyt, axis=1)
-    keys_s = jnp.take_along_axis(keyt, order, axis=1)
-    rows_s = jnp.take_along_axis(rowt, order, axis=1)
-    uniq = jnp.concatenate(
-        [
-            jnp.ones((nt, 1), bool),
-            keys_s[:, 1:] != keys_s[:, :-1],
-        ],
-        axis=1,
-    ) & (keys_s != 0x7FFFFFFF)
-    rank = jnp.cumsum(uniq.astype(jnp.int32), axis=1) - 1
-    dst = jnp.where(uniq & (rank < kp), rank, kp)  # kp → dropped
-    tile_idx = jnp.broadcast_to(jnp.arange(nt)[:, None], dst.shape)
-    page_key = jnp.full((nt, kp + 1), -2, jnp.int32).at[tile_idx, dst].set(
-        jnp.where(uniq, keys_s, -2), mode="drop"
-    )[:, :kp]
-    page_rows = jnp.full((nt, kp + 1), -1, jnp.int32).at[tile_idx, dst].set(
-        jnp.where(uniq, rows_s, -1), mode="drop"
-    )[:, :kp]
+    # rasterize: up to tb×tb (tile-unit) footprint per block
+    dus = jnp.arange(tb)
+    tu = t0u[:, None, None] + dus[None, :, None]  # [NP, tb, 1]
+    tv = t0v[:, None, None] + dus[None, None, :]  # [NP, 1, tb]
+    in_box = (tu <= t1u[:, None, None]) & (tv <= t1v[:, None, None]) & live[:, None, None]
+    tile_id = jnp.where(in_box, tv * tw + tu, nt)  # [NP, tb, tb]
+
+    # near-first slot assignment: sort (tile, z) pairs, rank within tile
+    zq = jnp.clip(znear * (16383.0 / z_far), 0, 16383).astype(jnp.int32)
+    skey = (tile_id << 14) | zq[:, None, None]  # nt<2¹⁷ ⇒ fits int32 (nt·2¹⁴)
+    skey = jnp.where(in_box, skey, jnp.int32(0x7FFFFFFF)).reshape(-1)
+    rowv = jnp.broadcast_to(jnp.arange(NP, dtype=jnp.int32)[:, None, None], tile_id.shape).reshape(-1)
+    order = jnp.argsort(skey)
+    skey_s = skey[order]
+    rows_s = rowv[order]
+    tile_s = jnp.where(skey_s == 0x7FFFFFFF, nt, skey_s >> 14)
+    n = tile_s.shape[0]
+    iarr = jnp.arange(n, dtype=jnp.int32)
+    new_seg = jnp.concatenate([jnp.ones((1,), bool), tile_s[1:] != tile_s[:-1]])
+    seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(new_seg, iarr, 0))
+    rank = iarr - seg_start
+    dst_ok = (tile_s < nt) & (rank < kp)
+    flat_dst = jnp.where(dst_ok, tile_s * kp + rank, nt * kp)
+
+    page_rows = jnp.full((nt * kp + 1,), -1, jnp.int32).at[flat_dst].set(
+        rows_s, mode="drop"
+    )[: nt * kp].reshape(nt, kp)
+    cell_s = cell[rows_s]
+    page_key = jnp.full((nt * kp + 1,), -2, jnp.int32).at[flat_dst].set(
+        cell_s, mode="drop"
+    )[: nt * kp].reshape(nt, kp)
     return page_rows, page_key

@@ -1,0 +1,97 @@
+"""Pallas raycast kernel vs the XLA oracle march (interpret mode on CPU).
+
+The XLA lock-step march in ops/raycast.py is the CPU-testable oracle
+(mirrors the reference's CPU/CUDA dual-backend strategy, SURVEY.md §4); the
+Pallas tile kernel must agree with it on hit/miss classification and land on
+the same surface to sub-voxel accuracy.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from infinitam_tpu.calib import default_calib
+from infinitam_tpu.config import (
+    BlockGridParams,
+    SceneParams,
+    Settings,
+    TrackingParams,
+    VoxelBlockHashParams,
+)
+from infinitam_tpu.engine import hash_pipeline as hp
+from infinitam_tpu.engine.view_builder import View
+from infinitam_tpu.io import synth
+
+IMG = (64, 64)  # multiple of the 16-px kernel tile
+
+
+def make_settings() -> Settings:
+    return Settings(
+        scene=SceneParams(voxel_size=0.025, mu=0.1, view_frustum_min=0.3, view_frustum_max=3.0),
+        hashing=VoxelBlockHashParams(
+            n_buckets=0x4000,
+            n_excess=0x400,
+            n_blocks=0x1800,
+            max_visible_blocks=0x1000,
+        ),
+        block_grid=BlockGridParams(dims=(32, 32, 32), origin=(-16, -16, 0)),
+        tracking=TrackingParams(n_levels=3, min_valid_points=50),
+        max_render_blocks=512,
+        raycast_t_march=48,
+        raycast_pages_per_tile=48,
+    )
+
+
+def fused_scene(settings):
+    calib = default_calib(IMG[1], IMG[0])
+    proj = jnp.asarray(calib.intrinsics_d.vector)
+    src = synth.SyntheticSource(calib, n_frames=2, img_size=IMG)
+    depth, _rgb, _gt = src.get_images()
+    vol, rs, state = hp.create_engine_state(settings, IMG)
+    for _ in range(2):
+        vol, rs, state, _diag = hp.process_frame_hash(
+            vol, rs, state, View(depth=depth), proj, settings
+        )
+    return depth, proj, vol, rs
+
+
+def test_pallas_raycast_matches_oracle():
+    settings = make_settings()
+    depth, proj, vol, rs = fused_scene(settings)
+    pose = jnp.eye(4)
+
+    oracle = hp.raycast_hash(vol, rs, pose, proj, IMG, settings)  # CPU → XLA path
+    kern = hp.raycast_hash_pallas(vol, rs, pose, proj, IMG, settings, interpret=True)
+
+    f_o = np.asarray(oracle.points[..., 3]) > 0
+    f_k = np.asarray(kern.points[..., 3]) > 0
+
+    # hit/miss agreement (small disagreement allowed at silhouettes)
+    agree = (f_o == f_k).mean()
+    assert agree > 0.97, f"hit/miss agreement {agree:.3f}"
+
+    both = f_o & f_k
+    assert both.sum() > 100
+    d = np.linalg.norm(
+        np.asarray(oracle.points[..., :3])[both] - np.asarray(kern.points[..., :3])[both],
+        axis=-1,
+    )
+    # voxel-unit hit distance: median well under a voxel, tail bounded
+    assert np.median(d) < 0.5, f"median hit offset {np.median(d):.3f} voxels"
+    assert np.percentile(d, 95) < 2.0, f"p95 hit offset {np.percentile(d, 95):.3f}"
+
+
+def test_pallas_raycast_depth_consistency():
+    """Kernel hits must reproduce the fused synthetic depth."""
+    settings = make_settings()
+    depth, proj, vol, rs = fused_scene(settings)
+    kern = hp.raycast_hash_pallas(vol, rs, jnp.eye(4), proj, IMG, settings, interpret=True)
+
+    found = np.asarray(kern.points[..., 3]) > 0
+    gt_valid = np.asarray(depth) > 0
+    assert found[gt_valid].mean() > 0.8
+
+    z = np.asarray(kern.points[..., 2]) * settings.scene.voxel_size
+    d = np.asarray(depth)
+    sel = found & gt_valid
+    err = np.abs(z[sel] - d[sel])
+    assert np.median(err) < settings.scene.voxel_size

@@ -150,6 +150,11 @@ class Settings:
     use_pallas_raycast: bool = True
     raycast_t_march: int = 64  # static bound on adaptive march steps per ray
     raycast_pages_per_tile: int = 48  # KP: voxel blocks resident per 16×16 tile
+    # Flagship Pallas integrate kernel (ops/pallas/integrate_kernel.py): one
+    # grid step per visible block, in-place packed-row write-back. Used on
+    # TPU for depth-only fusion; color fusion and CPU fall back to the XLA
+    # gather→update→scatter path.
+    use_pallas_integrate: bool = True
     tracking: TrackingParams = TrackingParams()
     tracker_type: TrackerType = TrackerType.ICP
     swapping_mode: SwappingMode = SwappingMode.DISABLED

@@ -159,6 +159,58 @@ def allocate_scene_from_depth(
     return vol, new_rs
 
 
+def integrate_into_scene_pallas(
+    vol: HashVolume,
+    render_state: RenderStateVH,
+    view: View,
+    pose: jnp.ndarray,
+    proj: jnp.ndarray,
+    settings: Settings,
+    enable: jnp.ndarray | bool = True,
+    interpret: bool = False,
+) -> HashVolume:
+    """Flagship TPU integration: one Pallas grid step per visible block with
+    in-place packed-row write-back (see ops/pallas/integrate_kernel.py;
+    reference: integrateIntoScene_device <<<noVisibleEntries, 8³>>>,
+    ITMSceneReconstructionEngine_CUDA.cu:206-230)."""
+    from infinitam_tpu.ops.pallas import integrate_kernel as ik
+
+    hp = settings.hashing
+    sp = settings.scene
+    V = settings.max_fused_blocks or hp.max_visible_blocks
+    ids = render_state.visible_ids[:V]
+    ids_c = jnp.clip(ids, 0, hp.n_entries - 1)
+    ptr = vol.entry_ptr[ids_c]
+    bpos = vol.entry_pos[ids_c]
+    valid = (ids >= 0) & (ptr >= 0)
+    ptrs = jnp.where(valid, ptr, hv.sentinel_row(hp)).astype(jnp.int32)
+
+    meta = ik.block_windows(
+        bpos, valid, pose, proj, view.depth.shape, sp.voxel_size, hp.block_size
+    )
+    cam = ik.make_cam_vector(
+        pose, proj, sp.voxel_size, sp.mu, sp.max_w,
+        sp.stop_integrating_at_max_w, enable, view.depth.shape,
+    )
+    depth_t = ik.prep_depth_t(view.depth)
+    vox = ik.integrate_blocks(
+        vol.vox, ptrs, bpos, meta, depth_t, cam,
+        n_valid=None, interpret=interpret,
+    )
+    return vol._replace(vox=vox)
+
+
+def _pallas_integrate_available(view: View, settings: Settings) -> bool:
+    import jax as _jax
+
+    return (
+        settings.use_pallas_integrate
+        and not (settings.use_color and view.rgb is not None)
+        and settings.hashing.block_size == 8
+        and _jax.default_backend() == "tpu"
+    )
+
+
 def integrate_into_scene(
     vol: HashVolume,
     render_state: RenderStateVH,
@@ -173,6 +225,10 @@ def integrate_into_scene(
     """IntegrateIntoScene (reference: integrateIntoScene_device — grid over
     visible blocks × 8³ threads): gather → fused TSDF update → scatter.
     `enable=False` (dynamic) makes the update a no-op (divergence policy)."""
+    if _pallas_integrate_available(view, settings):
+        return integrate_into_scene_pallas(
+            vol, render_state, view, pose, proj, settings, enable=enable
+        )
     hp = settings.hashing
     sp = settings.scene
     S = hp.block_size
@@ -375,8 +431,9 @@ def raycast_hash_pallas(
     H, W = img_size
     zmin, zmax = expected_depth_ranges(vol, render_state, pose, proj, img_size, settings)
 
-    # --- int8 SDF pool of the visible blocks (top byte of the packed voxel
-    # lane = sdf×~128; the kernel divides by 128) ------------------------
+    # --- packed-voxel pool of the visible blocks (kernel extracts the sdf
+    # top byte with an arithmetic shift; int32 rows are the only layout
+    # Mosaic dynamic-row loads support) -----------------------------------
     NP = settings.max_render_blocks or hp.max_visible_blocks
     ids = render_state.visible_ids[:NP]
     ids_c = jnp.clip(ids, 0, hp.n_entries - 1)
@@ -384,8 +441,8 @@ def raycast_hash_pallas(
     bpos = vol.entry_pos[ids_c]
     valid = (ids >= 0) & (ptr >= 0)
     ptr_c = jnp.where(valid, ptr, 0)
-    pool = (vol.vox[ptr_c] >> 24).astype(jnp.int8)  # [NP, S³]
-    pool = jnp.where(valid[:, None], pool, jnp.int8(127))  # empty rows read +1
+    pool = vol.vox[ptr_c]  # [NP, S³] packed
+    pool = jnp.where(valid[:, None], pool, jnp.int32(127 << 24))  # empty → +1
 
     # --- rays + per-tile page lists --------------------------------------
     inv_M = se3.invert(pose)

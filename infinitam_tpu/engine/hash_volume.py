@@ -135,9 +135,17 @@ class RenderStateVH(NamedTuple):
     n_visible: jnp.ndarray  # scalar int32
 
 
+def sentinel_row(params: VoxelBlockHashParams) -> int:
+    """VBA row reserved as a never-allocated no-op target: the Pallas
+    integrate kernel routes invalid/swapped grid steps here so their aliased
+    write-back can't clobber a live block."""
+    return params.n_blocks - 1
+
+
 def create_hash(params: VoxelBlockHashParams, with_color: bool = False) -> HashVolume:
     """Allocate + reset (reference: ITMVoxelBlockHash ctor + ResetScene —
-    free lists full, all entries empty, sdf=1, w=0)."""
+    free lists full, all entries empty, sdf=1, w=0). The LAST VBA row is a
+    reserved sentinel (see sentinel_row) — the free stack tops out at B−2."""
     E = params.n_entries
     B = params.n_blocks
     X = params.n_excess
@@ -148,7 +156,7 @@ def create_hash(params: VoxelBlockHashParams, with_color: bool = False) -> HashV
         entry_offset=jnp.zeros((E,), dtype=jnp.int32),
         vox=jnp.full((B, S3), VOX_INIT, dtype=jnp.int32),
         alloc_list=jnp.arange(B, dtype=jnp.int32),
-        last_free_block=jnp.array(B - 1, dtype=jnp.int32),
+        last_free_block=jnp.array(B - 2, dtype=jnp.int32),
         excess_list=jnp.arange(X, dtype=jnp.int32),
         last_free_excess=jnp.array(X - 1, dtype=jnp.int32),
         vox_rgb=jnp.zeros((B, S3), dtype=jnp.int32) if with_color else None,

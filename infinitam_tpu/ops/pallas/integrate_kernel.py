@@ -1,0 +1,281 @@
+"""Pallas TPU fused TSDF integration: one grid step per visible block.
+
+Reference hot loop: integrateIntoScene_device <<<noVisibleEntries, 8³>>>
+(ITMSceneReconstructionEngine_CUDA.cu:206-230 → computeUpdatedVoxelDepthInfo,
+DeviceAgnostic/ITMSceneReconstructionEngine.h:10-70). The CUDA kernel reads
+one voxel per thread and taps the depth image at the voxel's projection —
+per-element random gathers that cost 10-65 ns each on TPU (PERF_NOTES.md),
+so the design is re-derived:
+
+- the grid runs ONE STEP PER VISIBLE BLOCK (work ∝ visibility, the analogue
+  of the reference's noVisibleEntries launch); the block's packed voxel row
+  arrives by dynamic-index_map DMA (scalar-prefetched VBA pointers) and the
+  updated row is written back IN PLACE (aliased output, same index_map);
+- the depth tap is ONE-HOT MATMUL algebra on the MXU instead of a gather:
+  the transposed depth image is VMEM-resident, each block slices an aligned
+  (WU, WV) window around its projected footprint, and
+    tap[i] = Σ_uu (win @ onehot_v)[uu, i] · onehot_u[uu, i]
+  selects depth[v_i, u_i] exactly. The window is split hi/lo into two
+  bfloat16 planes so the matmuls run at full MXU rate while reconstructing
+  f32 depth exactly (one-hots are exact in bf16);
+- invalid / swapped-out entries route to a reserved sentinel VBA row
+  (hash_volume.create_hash never allocates it) with the update masked off,
+  making their write-back a benign no-op.
+
+Divergences from the reference (both rare, both masked-safe): voxels whose
+projection falls outside the block's window (footprints wider than WU−7 /
+WV−127 pixels — only blocks closer than ~0.5 m at the image periphery) skip
+their update this frame, and color integration stays on the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# max window of the transposed depth image sliced per block: WU sublanes
+# (image columns, 8-aligned start), WV lanes (image rows, 128-aligned start);
+# shrunk to the padded image when the image is smaller
+WU_MAX = 192
+WV_MAX = 256
+
+
+def _win_dims(img_size):
+    H, W = img_size
+    Wp = (W + 7) // 8 * 8
+    Hp = (H + 127) // 128 * 128
+    return min(WU_MAX, Wp), min(WV_MAX, Hp)
+
+S = 8  # voxel block side (the kernel is specialized to 8³ = 512 blocks)
+S3 = 512
+
+
+def _integrate_kernel(
+    ptr_ref,  # scalar-prefetch SMEM [V] int32 — VBA row (sentinel-resolved)
+    bpos_ref,  # scalar-prefetch SMEM [V, 3] int32 — block coords
+    meta_ref,  # scalar-prefetch SMEM [V, 3] int32 — (u0/8, v0/128, valid)
+    vox_ref,  # VMEM (1, 1, 512) int32 — packed voxel row of this block
+    depth_t_ref,  # VMEM (Wp, Hp) f32 — TRANSPOSED (col-major) depth image
+    cam_ref,  # SMEM (32,) f32 — R(9) t(3) fx fy cx cy voxel mu maxw stop enable H W
+    out_ref,  # VMEM (1, 1, 512) int32 — aliased to vox input
+    *,
+    wu: int,
+    wv: int,
+):
+    WU, WV = wu, wv
+    i = pl.program_id(0)
+
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, S3), 1)
+    lx = lin & (S - 1)
+    ly = (lin >> 3) & (S - 1)
+    lz = lin >> 6
+
+    bx = bpos_ref[i, 0]
+    by = bpos_ref[i, 1]
+    bz = bpos_ref[i, 2]
+    voxel = cam_ref[16]
+    mu = cam_ref[17]
+    max_w = cam_ref[18]
+    stop_at_max_w = cam_ref[19]
+    enable = cam_ref[20]
+    img_h = cam_ref[21]
+    img_w = cam_ref[22]
+
+    px = (bx * S + lx).astype(jnp.float32) * voxel
+    py = (by * S + ly).astype(jnp.float32) * voxel
+    pz = (bz * S + lz).astype(jnp.float32) * voxel
+
+    cx_ = cam_ref[0] * px + cam_ref[1] * py + cam_ref[2] * pz + cam_ref[9]
+    cy_ = cam_ref[3] * px + cam_ref[4] * py + cam_ref[5] * pz + cam_ref[10]
+    cz_ = cam_ref[6] * px + cam_ref[7] * py + cam_ref[8] * pz + cam_ref[11]
+
+    ok = cz_ > 0.0
+    zs = jnp.where(ok, cz_, 1.0)
+    u = cam_ref[12] * cx_ / zs + cam_ref[14]
+    v = cam_ref[13] * cy_ / zs + cam_ref[15]
+    # reference bounds: 1 <= u <= W-2 (computeUpdatedVoxelDepthInfo)
+    ok &= (u >= 1.0) & (u <= img_w - 2.0) & (v >= 1.0) & (v <= img_h - 2.0)
+
+    ui = jnp.floor(u + 0.5).astype(jnp.int32)
+    vi = jnp.floor(v + 0.5).astype(jnp.int32)
+
+    u0 = meta_ref[i, 0] * 8
+    v0 = meta_ref[i, 1] * 128
+    cu = ui - u0  # window sublane coord
+    rv = vi - v0  # window lane coord
+    ok &= (cu >= 0) & (cu < WU) & (rv >= 0) & (rv < WV)
+
+    # ---- depth tap via one-hot matmuls --------------------------------------
+    # The window is split into THREE bf16 planes (8+8+8 = 24 mantissa bits):
+    # each residual subtraction is exact in f32, each one-hot dot selects a
+    # single element (no accumulation), so hi+mid+lo reconstructs the f32
+    # depth EXACTLY at bf16 MXU speed — the kernel is bit-identical to the
+    # XLA oracle (tests/test_pallas_integrate.py asserts so).
+    win = depth_t_ref[pl.ds(u0, WU), pl.ds(v0, WV)]  # [WU, WV] f32
+    win_hi = win.astype(jnp.bfloat16)
+    r1 = win - win_hi.astype(jnp.float32)
+    win_mid = r1.astype(jnp.bfloat16)
+    win_lo = (r1 - win_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    ohv = (
+        jax.lax.broadcasted_iota(jnp.int32, (WV, S3), 0) == rv
+    ).astype(jnp.bfloat16)  # [WV, 512]
+    dn = (((1,), (0,)), ((), ()))
+    q = (
+        jax.lax.dot_general(win_hi, ohv, dn, preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(win_mid, ohv, dn, preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(win_lo, ohv, dn, preferred_element_type=jnp.float32)
+    )  # [WU, 512]: q[uu, i] = depth[v_i, u0 + uu]
+    ohu = jax.lax.broadcasted_iota(jnp.int32, (WU, S3), 0) == cu  # [WU, 512]
+    dtap = jnp.sum(jnp.where(ohu, q, 0.0), axis=0, keepdims=True)  # [1, 512]
+
+    ok &= dtap > 0.0
+    eta = dtap - cz_
+    do = ok & (eta >= -mu)
+    do &= ptr_ref[i] >= 0
+    do &= meta_ref[i, 2] > 0
+    do &= enable > 0.0
+
+    packed = vox_ref[0, :, :]
+    old_q = packed >> 16  # sign-extended int16 sdf
+    old_sdf = old_q.astype(jnp.float32) * (1.0 / 32767.0)
+    old_w = (packed >> 8) & 0xFF
+    old_wf = old_w.astype(jnp.float32)
+
+    new_f = jnp.minimum(1.0, eta / mu)
+    merged = (old_wf * old_sdf + new_f) / (old_wf + 1.0)
+    new_w = jnp.minimum(old_w + 1, max_w.astype(jnp.int32))
+    do &= (stop_at_max_w <= 0.0) | (old_wf < max_w)
+
+    sdf_q = jnp.round(jnp.clip(merged, -1.0, 1.0) * 32767.0).astype(jnp.int32)
+    new_packed = ((sdf_q & 0xFFFF) << 16) | ((new_w & 0xFF) << 8)
+    out_ref[0, :, :] = jnp.where(do, new_packed, packed)
+
+
+def integrate_blocks(
+    vox: jnp.ndarray,  # [B, 512] int32 packed voxel array (donated)
+    ptrs: jnp.ndarray,  # [V] int32 VBA rows, sentinel for invalid steps
+    bpos: jnp.ndarray,  # [V, 3] int32 block coords
+    meta: jnp.ndarray,  # [V, 3] int32 (u0/8, v0/128, valid)
+    depth_t: jnp.ndarray,  # [Wp, Hp] f32 transposed padded depth
+    cam: jnp.ndarray,  # (32,) f32 camera/update params (see kernel)
+    n_valid: jnp.ndarray | None = None,  # dynamic grid bound (None → static V)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the per-visible-block fused TSDF update; returns the updated vox
+    plane (same buffer, in-place semantics via input_output_aliases)."""
+    V = ptrs.shape[0]
+    B, s3 = vox.shape
+    # TPU lowering wants the 2nd-minor block dim to equal the array's, so the
+    # VBA plane is viewed as [B, 1, S3] with (1, 1, S3) row blocks
+    vox3 = vox.reshape(B, 1, s3)
+    Wp, Hp = depth_t.shape
+    wu, wv = min(WU_MAX, Wp), min(WV_MAX, Hp)
+    kernel = functools.partial(_integrate_kernel, wu=wu, wv=wv)
+    dynamic = n_valid is not None
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(None,) if dynamic else (V,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, s3), lambda i, p, b, m: (p[i], 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((Wp, Hp), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, s3), lambda i, p, b, m: (p[i], 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, 1, s3), jnp.int32),
+        grid_spec=grid_spec,
+        input_output_aliases={3: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )
+    if dynamic:
+        return call(n_valid, ptrs, bpos, meta, vox3, depth_t, cam).reshape(B, s3)
+    return call(ptrs, bpos, meta, vox3, depth_t, cam).reshape(B, s3)
+
+
+def block_windows(
+    bpos: jnp.ndarray,  # [V, 3] int32
+    valid: jnp.ndarray,  # [V] bool
+    pose: jnp.ndarray,
+    proj: jnp.ndarray,
+    img_size: Tuple[int, int],
+    voxel_size: float,
+    block_size: int = 8,
+) -> jnp.ndarray:
+    """Aligned depth-window origins per block → meta [V, 3] int32
+    (u0/8, v0/128, valid). Windows anchor at the min projected corner so a
+    footprint ≤ (WU−7, WV−127) px is fully covered."""
+    H, W = img_size
+    Wp = (W + 7) // 8 * 8
+    Hp = (H + 127) // 128 * 128
+    WU, WV = _win_dims(img_size)
+    fx, fy, cx, cy = proj[0], proj[1], proj[2], proj[3]
+    factor = block_size * voxel_size
+    bposf = bpos.astype(jnp.float32)
+    us, vs = [], []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                corner = (bposf + jnp.array([dx, dy, dz], jnp.float32)) * factor
+                pc = jnp.einsum("ij,nj->ni", pose[:3, :3], corner) + pose[:3, 3]
+                z = pc[:, 2]
+                ok = z > 1e-6
+                zsafe = jnp.where(ok, z, 1.0)
+                us.append(jnp.where(ok, fx * pc[:, 0] / zsafe + cx, 1e9))
+                vs.append(jnp.where(ok, fy * pc[:, 1] / zsafe + cy, 1e9))
+    umin = jnp.min(jnp.stack(us, -1), -1)
+    vmin = jnp.min(jnp.stack(vs, -1), -1)
+    u0d8 = jnp.clip(jnp.floor(umin / 8.0).astype(jnp.int32), 0, (Wp - WU) // 8)
+    v0d128 = jnp.clip(jnp.floor(vmin / 128.0).astype(jnp.int32), 0, (Hp - WV) // 128)
+    return jnp.stack([u0d8, v0d128, valid.astype(jnp.int32)], axis=1)
+
+
+def make_cam_vector(
+    pose: jnp.ndarray,
+    proj: jnp.ndarray,
+    voxel_size: float,
+    mu: float,
+    max_w: int,
+    stop_at_max_w: bool,
+    enable: jnp.ndarray | bool,
+    img_size: Tuple[int, int],
+) -> jnp.ndarray:
+    H, W = img_size
+    en = jnp.asarray(enable, jnp.float32).reshape(())
+    return jnp.concatenate(
+        [
+            pose[:3, :3].reshape(-1).astype(jnp.float32),
+            pose[:3, 3].astype(jnp.float32),
+            jnp.asarray(proj[:4], jnp.float32),
+            jnp.array(
+                [voxel_size, mu, float(max_w), 1.0 if stop_at_max_w else 0.0],
+                jnp.float32,
+            ),
+            en[None],
+            jnp.array([float(H), float(W)], jnp.float32),
+            jnp.zeros((9,), jnp.float32),
+        ]
+    )
+
+
+def prep_depth_t(depth: jnp.ndarray) -> jnp.ndarray:
+    """Transpose + pad the depth image to the kernel's aligned layout
+    [Wp (8·k), Hp (128·k)]; padding reads as 0 (= invalid depth)."""
+    H, W = depth.shape
+    Wp = (W + 7) // 8 * 8
+    Hp = (H + 127) // 128 * 128
+    dt = depth.T
+    return jnp.pad(dt, ((0, Wp - W), (0, Hp - H)))

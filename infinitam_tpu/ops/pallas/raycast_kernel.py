@@ -68,9 +68,10 @@ def _raycast_kernel(
     page_rows_ref,  # scalar-prefetch SMEM [NT, KP] int32 — pool rows (−1 empty)
     page_key_ref,  # scalar-prefetch SMEM [NT, KP] int32 — cell keys (−2 empty)
     rays_ref,  # VMEM (1, 8, 256) f32 — ox,oy,oz,dx,dy,dz,L,active
-    pool_ref,  # VMEM (NP, 512) int8 — visible-block sdf pool (×128)
+    pool_ref,  # VMEM (NP, 512) int32 — packed voxel rows (sdf byte = top byte)
     out_ref,  # VMEM (1, 8, 256) f32 — px,py,pz,found,t*,sdf,...
-    pages,  # scratch VMEM (KP, 512) bf16
+    pages_i32,  # scratch VMEM (KP, 512) int32 — packed page rows
+    pages,  # scratch VMEM (KP, 512) bf16 — sdf bytes of the pages
     keys,  # scratch VMEM (KP, 256) int32
     p8,  # scratch VMEM (8·KP, 512) bf16 — corner-rolled page copies
     *,
@@ -86,16 +87,22 @@ def _raycast_kernel(
     ti = pl.program_id(0)
 
     # ---- fetch pages from the resident pool + broadcast their keys --------
+    # pool rows are the PACKED int32 voxel lanes (Mosaic only supports
+    # dynamic (1, 512) row loads at 32-bit width — int8 rows fail to prove
+    # sublane alignment); the sdf byte is the top byte, so an arithmetic
+    # shift recovers the signed int8 sdf exactly.
     def fetch(k, _):
         row = jnp.maximum(page_rows_ref[ti, k], 0)
-        pages[pl.ds(k, 1), :] = pool_ref[pl.ds(row, 1), :].astype(jnp.bfloat16)
+        pages_i32[pl.ds(k, 1), :] = pool_ref[pl.ds(row, 1), :]
         keys[pl.ds(k, 1), :] = jnp.full((1, NRAY), page_key_ref[ti, k], jnp.int32)
         return 0
 
     jax.lax.fori_loop(0, kp, fetch, 0, unroll=True)
+    pages[:] = (pages_i32[:] >> 24).astype(jnp.bfloat16)
 
     # corner-rolled copies for the trilinear round (roll wraps inside the
-    # block; wrapped lanes are masked to the base corner below)
+    # block; wrapped lanes are masked to the base corner below). Mosaic only
+    # rotates 32-bit data, so roll the PACKED rows and extract sdf after.
     for c, (dx, dy, dz) in enumerate(_CORNERS):
         off = dx + S * dy + S2 * dz
         if off == 0:
@@ -103,7 +110,8 @@ def _raycast_kernel(
         else:
             # left-roll by `off` == right-roll by S³ − off (pltpu.roll
             # requires a non-negative shift)
-            p8[pl.ds(c * kp, kp), :] = pltpu.roll(pages[:], S * S2 - off, 1)
+            rolled = pltpu.roll(pages_i32[:], S * S2 - off, 1)
+            p8[pl.ds(c * kp, kp), :] = (rolled >> 24).astype(jnp.bfloat16)
 
     o_x = rays_ref[0, 0:1, :]
     o_y = rays_ref[0, 1:2, :]
@@ -241,7 +249,7 @@ def raycast_tiles(
     page_rows: jnp.ndarray,  # [NT, KP] int32
     page_key: jnp.ndarray,  # [NT, KP] int32
     rays: jnp.ndarray,  # [NT, 8, 256] f32
-    pool_sdf8: jnp.ndarray,  # [NP, 512] int8
+    pool_packed: jnp.ndarray,  # [NP, 512] int32 packed voxels (sdf = top byte)
     *,
     t_march: int,
     step_scale: float,
@@ -252,7 +260,7 @@ def raycast_tiles(
 ) -> jnp.ndarray:
     """Run the tile raycast kernel → [NT, 8, 256] f32 output planes."""
     nt, kp = page_rows.shape
-    np_, s3 = pool_sdf8.shape
+    np_, s3 = pool_packed.shape
     kernel = functools.partial(
         _raycast_kernel,
         kp=kp,
@@ -271,6 +279,7 @@ def raycast_tiles(
         ],
         out_specs=pl.BlockSpec((1, 8, NRAY), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM((kp, s3), jnp.int32),
             pltpu.VMEM((kp, s3), jnp.bfloat16),
             pltpu.VMEM((kp, NRAY), jnp.int32),
             pltpu.VMEM((8 * kp, s3), jnp.bfloat16),
@@ -281,7 +290,7 @@ def raycast_tiles(
         out_shape=jax.ShapeDtypeStruct((nt, 8, NRAY), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(page_rows, page_key, rays, pool_sdf8)
+    )(page_rows, page_key, rays, pool_packed)
 
 
 # --------------------------------------------------------------------------

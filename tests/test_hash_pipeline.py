@@ -53,7 +53,7 @@ def fused():
 
 def test_allocation_happens(fused):
     depth, vol, rs, state, diag = fused
-    n_alloc = SETTINGS.hashing.n_blocks - 1 - int(vol.last_free_block)
+    n_alloc = SETTINGS.hashing.n_blocks - 2 - int(vol.last_free_block)
     assert n_alloc > 50, f"only {n_alloc} blocks allocated"
     assert int(rs.n_visible) >= n_alloc
     # every visible id refers to an allocated entry or a planned one

@@ -67,7 +67,7 @@ def test_alloc_and_probe_roundtrip():
     vol = hv.create_hash(HP)
     blocks = [[0, 0, 0], [1, 2, 3], [-4, 5, -6], [10, 10, 10]]
     vol, vt = _alloc_blocks(vol, blocks)
-    assert int(vol.last_free_block) == HP.n_blocks - 1 - 4
+    assert int(vol.last_free_block) == HP.n_blocks - 2 - 4  # row B-1 is the reserved sentinel
 
     pr = _probe_jit(vol, jnp.asarray(blocks, dtype=jnp.int32))
     assert bool(jnp.all(pr.found))

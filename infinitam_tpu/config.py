@@ -150,6 +150,11 @@ class Settings:
     use_pallas_raycast: bool = True
     raycast_t_march: int = 64  # static bound on adaptive march steps per ray
     raycast_pages_per_tile: int = 48  # KP: voxel blocks resident per 16×16 tile
+    # NP: rows of the VMEM-resident packed-voxel pool the Pallas raycast taps.
+    # 2048 rows = 4 MB VMEM (int32×512); 8192 would be 16 MB — at the VMEM
+    # budget of common TPU generations. Typical visible counts are 1-2 k;
+    # overflow blocks are dropped far-first and counted in FrameDiagnostics.
+    raycast_pool_blocks: int = 2048
     # Flagship Pallas integrate kernel (ops/pallas/integrate_kernel.py): one
     # grid step per visible block, in-place packed-row write-back. Used on
     # TPU for depth-only fusion; color fusion and CPU fall back to the XLA

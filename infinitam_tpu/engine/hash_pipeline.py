@@ -45,6 +45,19 @@ class FrameDiagnostics(NamedTuple):
     num_valid: jnp.ndarray
     n_visible: jnp.ndarray
     n_free_blocks: jnp.ndarray
+    # silent-cap counters (SURVEY §5 "no silent caps" hygiene) — all ~0 on a
+    # healthy scene; nonzero values mean the frame degraded gracefully:
+    # new blocks that deferred to the next frame (alloc cap / free-list dry)
+    n_alloc_overflow: jnp.ndarray = jnp.int32(0)
+    # visible blocks beyond the expected-depth raster cap (range image loose)
+    n_render_overflow: jnp.ndarray = jnp.int32(0)
+    # visible blocks beyond the Pallas raycast pool (far blocks unrendered)
+    n_pool_overflow: jnp.ndarray = jnp.int32(0)
+    # blocks whose projected bbox exceeded the raster tile cap (range widened
+    # to the full frustum → extra march steps)
+    n_too_big_blocks: jnp.ndarray = jnp.int32(0)
+    # near blocks fusing partially (integrate-kernel window clipped)
+    n_window_clipped: jnp.ndarray = jnp.int32(0)
 
 
 def allocate_scene_from_depth(
@@ -56,11 +69,14 @@ def allocate_scene_from_depth(
     settings: Settings,
     only_update_visible: bool = False,
     enable: jnp.ndarray | bool = True,
-) -> Tuple[HashVolume, RenderStateVH]:
+) -> Tuple[HashVolume, RenderStateVH, jnp.ndarray]:
     """AllocateSceneFromDepth (reference: _CUDA.cu:89-170): demote last
     frame's visibles → plan from the depth band → allocate → rebuild the
     compacted visible list. `enable=False` (dynamic) suppresses new
-    allocations (divergence policy) while still refreshing visibility."""
+    allocations (divergence policy) while still refreshing visibility.
+
+    Returns (vol, render_state, n_alloc_overflow) — the third value counts
+    wanted-but-deferred new blocks (alloc cap / OOG cap overflow)."""
     hp = settings.hashing
     sp = settings.scene
     img_size = depth.shape
@@ -132,10 +148,16 @@ def allocate_scene_from_depth(
         jnp.where(ofound, ovis, 0), mode="drop"
     )
 
+    n_alloc_overflow = jnp.int32(0)
     if not only_update_visible:
         # new in-grid cells: dedupe via a want-plane, compact, insert once
         want_at = jnp.where(cand_valid & in_grid & (code < 0), cell, G3)
         want = jnp.zeros((G3 + 1,), jnp.bool_).at[want_at].set(True, mode="drop")
+        n_want = jnp.sum(want[:G3]).astype(jnp.int32)
+        n_oog = jnp.sum(oog).astype(jnp.int32)
+        n_alloc_overflow = jnp.maximum(n_want - settings.max_alloc_blocks, 0) + jnp.maximum(
+            n_oog - OOG_CAP, 0
+        )
         ncell = jnp.nonzero(want[:G3], size=settings.max_alloc_blocks, fill_value=-1)[0]
         ncell_c = jnp.clip(ncell, 0, G3 - 1)
         nblocks = jnp.stack(
@@ -156,7 +178,7 @@ def allocate_scene_from_depth(
         vol, visible_type, pose, proj, img_size, sp.voxel_size, hp,
         use_enlarged=use_swapping,
     )
-    return vol, new_rs
+    return vol, new_rs, n_alloc_overflow
 
 
 def integrate_into_scene_pallas(
@@ -185,7 +207,7 @@ def integrate_into_scene_pallas(
     valid = (ids >= 0) & (ptr >= 0)
     ptrs = jnp.where(valid, ptr, hv.sentinel_row(hp)).astype(jnp.int32)
 
-    meta = ik.block_windows(
+    meta, _clipped = ik.block_windows(
         bpos, valid, pose, proj, view.depth.shape, sp.voxel_size, hp.block_size
     )
     cam = ik.make_cam_vector(
@@ -193,9 +215,11 @@ def integrate_into_scene_pallas(
         sp.stop_integrating_at_max_w, enable, view.depth.shape,
     )
     depth_t = ik.prep_depth_t(view.depth)
+    # dynamic grid: steps ∝ actual visible count, like the reference's
+    # <<<noVisibleEntries, 8³>>> launch (_CUDA.cu:206)
     vox = ik.integrate_blocks(
         vol.vox, ptrs, bpos, meta, depth_t, cam,
-        n_valid=None, interpret=interpret,
+        n_valid=render_state.n_visible, interpret=interpret,
     )
     return vol._replace(vox=vox)
 
@@ -311,6 +335,64 @@ def integrate_into_scene(
     return vol._replace(vox=vox, vox_rgb=vox_rgb)
 
 
+def _project_block_corners(
+    bpos: jnp.ndarray,  # [V, 3] float32 block coords
+    pose: jnp.ndarray,
+    proj: jnp.ndarray,
+    factor: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Project the 8 corners of each block → (U, V, Z) stacks [V, 8]
+    (reference: ProjectSingleBlock, DeviceAgnostic/ITMVisualisationEngine.h:28).
+    Corners behind the camera map to ∓1e9 so bboxes flood conservatively."""
+    fx, fy, cx, cy = proj[0], proj[1], proj[2], proj[3]
+    us, vs, zs = [], [], []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                corner = (bpos + jnp.array([dx, dy, dz], dtype=jnp.float32)) * factor
+                pc = jnp.einsum("ij,vj->vi", pose[:3, :3], corner) + pose[:3, 3]
+                z = pc[..., 2]
+                ok = z > 1e-6
+                zsafe = jnp.where(ok, z, 1.0)
+                us.append(jnp.where(ok, fx * pc[..., 0] / zsafe + cx, jnp.where(z <= 0, -1e9, 1e9)))
+                vs.append(jnp.where(ok, fy * pc[..., 1] / zsafe + cy, jnp.where(z <= 0, -1e9, 1e9)))
+                zs.append(z)
+    return jnp.stack(us, -1), jnp.stack(vs, -1), jnp.stack(zs, -1)
+
+
+def count_too_big_blocks(
+    vol: HashVolume,
+    render_state: RenderStateVH,
+    pose: jnp.ndarray,
+    proj: jnp.ndarray,
+    settings: Settings,
+) -> jnp.ndarray:
+    """Silent-cap counter: visible blocks whose projected bbox exceeds the
+    MAX_T×MAX_T raster tile of expected_depth_ranges (their range widens to
+    the full frustum — correct but costs raycast steps)."""
+    hp = settings.hashing
+    sp = settings.scene
+    sub = settings.minmax_subsample
+    ids = render_state.visible_ids
+    if settings.max_render_blocks and settings.max_render_blocks < ids.shape[0]:
+        ids = ids[: settings.max_render_blocks]
+    ids_c = jnp.clip(ids, 0, hp.n_entries - 1)
+    ptr = vol.entry_ptr[ids_c]
+    bpos = vol.entry_pos[ids_c].astype(jnp.float32)
+    valid = (ids >= 0) & (ptr >= 0)
+    U, V, Z = _project_block_corners(bpos, pose, proj, hp.block_size * sp.voxel_size)
+    du = (jnp.max(U, -1) - jnp.min(U, -1)) / sub
+    dv = (jnp.max(V, -1) - jnp.min(V, -1)) / sub
+    onscreen = jnp.any(Z > 0, -1)
+    return jnp.sum(valid & onscreen & ((du >= MINMAX_MAX_T) | (dv >= MINMAX_MAX_T))).astype(
+        jnp.int32
+    )
+
+
+# bbox raster tile cap (subsampled cells) in expected_depth_ranges
+MINMAX_MAX_T = 8
+
+
 def expected_depth_ranges(
     vol: HashVolume,
     render_state: RenderStateVH,
@@ -343,25 +425,9 @@ def expected_depth_ranges(
     bpos = vol.entry_pos[ids_c].astype(jnp.float32)
     valid = (ids >= 0) & (ptr >= 0)
 
-    factor = hp.block_size * sp.voxel_size
-    # project 8 corners of each block → 2-D bbox + z range
-    us = []
-    vs = []
-    zs = []
-    for dx in (0, 1):
-        for dy in (0, 1):
-            for dz in (0, 1):
-                corner = (bpos + jnp.array([dx, dy, dz], dtype=jnp.float32)) * factor
-                pc = jnp.einsum("ij,vj->vi", pose[:3, :3], corner) + pose[:3, 3]
-                z = pc[..., 2]
-                ok = z > 1e-6
-                zsafe = jnp.where(ok, z, 1.0)
-                us.append(jnp.where(ok, fx * pc[..., 0] / zsafe + cx, jnp.where(z <= 0, -1e9, 1e9)))
-                vs.append(jnp.where(ok, fy * pc[..., 1] / zsafe + cy, jnp.where(z <= 0, -1e9, 1e9)))
-                zs.append(z)
-    U = jnp.stack(us, axis=-1)
-    V = jnp.stack(vs, axis=-1)
-    Z = jnp.stack(zs, axis=-1)
+    U, V, Z = _project_block_corners(
+        bpos, pose, proj, hp.block_size * sp.voxel_size
+    )
     behind = jnp.any(Z <= 0, axis=-1)  # block partly behind camera: fall back
     u0 = jnp.clip(jnp.floor(jnp.min(U, axis=-1) / sub).astype(jnp.int32), 0, Ws - 1)
     u1 = jnp.clip(jnp.ceil(jnp.max(U, axis=-1) / sub).astype(jnp.int32), 0, Ws - 1)
@@ -374,8 +440,9 @@ def expected_depth_ranges(
 
     # rasterize bboxes into the subsampled minmax grid with scatter-min/max.
     # Blocks are small after projection; cap the bbox tile at MAX_T cells and
-    # let oversized blocks (very close to the camera) widen to the frustum.
-    MAX_T = 8
+    # let oversized blocks (very close to the camera) widen to the frustum
+    # (counted per frame by count_too_big_blocks → FrameDiagnostics).
+    MAX_T = MINMAX_MAX_T
     too_big = ((u1 - u0) >= MAX_T) | ((v1 - v0) >= MAX_T)
     zmin_b = jnp.where(too_big, sp.view_frustum_min, zmin_b)
     zmax_b = jnp.where(too_big, sp.view_frustum_max, zmax_b)
@@ -434,7 +501,7 @@ def raycast_hash_pallas(
     # --- packed-voxel pool of the visible blocks (kernel extracts the sdf
     # top byte with an arithmetic shift; int32 rows are the only layout
     # Mosaic dynamic-row loads support) -----------------------------------
-    NP = settings.max_render_blocks or hp.max_visible_blocks
+    NP = settings.raycast_pool_blocks
     ids = render_state.visible_ids[:NP]
     ids_c = jnp.clip(ids, 0, hp.n_entries - 1)
     ptr = vol.entry_ptr[ids_c]
@@ -690,17 +757,30 @@ def process_frame_hash(
     pose = jnp.where(have_maps & ~track_bad, tr.pose, state.pose)
     fuse_enable = ~track_bad
 
-    vol, render_state = allocate_scene_from_depth(
+    vol, render_state, n_alloc_overflow = allocate_scene_from_depth(
         vol, render_state, view.depth, pose, proj, settings,
         only_update_visible=not fusion_active,
         enable=fuse_enable,
     )
+    n_window_clipped = jnp.int32(0)
     if fusion_active:
         vol = integrate_into_scene(
             vol, render_state, view, pose, proj, settings,
             proj_rgb=proj_rgb, rgb_to_depth=rgb_to_depth,
             enable=fuse_enable,
         )
+        if _pallas_integrate_available(view, settings):
+            from infinitam_tpu.ops.pallas import integrate_kernel as ik
+
+            V = settings.max_fused_blocks or settings.hashing.max_visible_blocks
+            _ids = render_state.visible_ids[:V]
+            _idc = jnp.clip(_ids, 0, settings.hashing.n_entries - 1)
+            _valid = (_ids >= 0) & (vol.entry_ptr[_idc] >= 0)
+            _, _clip = ik.block_windows(
+                vol.entry_pos[_idc], _valid, pose, proj, img_size,
+                settings.scene.voxel_size, settings.hashing.block_size,
+            )
+            n_window_clipped = jnp.sum(_clip).astype(jnp.int32)
 
     if tt == TrackerType.COLOR:
         points_map, normals_map = create_point_cloud(
@@ -756,11 +836,19 @@ def process_frame_hash(
         f=tr.f,
         num_valid=tr.num_valid,
     )
+    n_vis = render_state.n_visible
     diag = FrameDiagnostics(
         f=tr.f,
         num_valid=tr.num_valid,
-        n_visible=render_state.n_visible,
+        n_visible=n_vis,
         n_free_blocks=vol.last_free_block + 1,
+        n_alloc_overflow=n_alloc_overflow,
+        n_render_overflow=jnp.maximum(n_vis - settings.max_render_blocks, 0).astype(jnp.int32)
+        if settings.max_render_blocks else jnp.int32(0),
+        n_pool_overflow=jnp.maximum(n_vis - settings.raycast_pool_blocks, 0).astype(jnp.int32)
+        if _pallas_raycast_available(img_size, settings) else jnp.int32(0),
+        n_too_big_blocks=count_too_big_blocks(vol, render_state, pose, proj, settings),
+        n_window_clipped=n_window_clipped,
     )
     return vol, render_state, new_state, diag
 

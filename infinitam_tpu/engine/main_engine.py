@@ -66,7 +66,7 @@ def _step_track_fuse_swap(
     have_maps = state.age >= 0
     pose = jnp.where(have_maps, tr.pose, state.pose)
 
-    vol, render_state = hp.allocate_scene_from_depth(
+    vol, render_state, _n_alloc_overflow = hp.allocate_scene_from_depth(
         vol, render_state, view.depth, pose, proj, settings,
         only_update_visible=not fusion_active,
     )

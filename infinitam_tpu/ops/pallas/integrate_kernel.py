@@ -40,9 +40,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 # max window of the transposed depth image sliced per block: WU sublanes
 # (image columns, 8-aligned start), WV lanes (image rows, 128-aligned start);
-# shrunk to the padded image when the image is smaller
-WU_MAX = 192
-WV_MAX = 256
+# shrunk to the padded image when the image is smaller.
+# Coverage = (WU−7, WV−127) px after alignment slop; a block's projected
+# footprint is ≤ block_size·voxel_size·√3·f/z px, so 256×384 covers blocks
+# down to z ≈ 0.29 m at f=525 / 8 cm blocks — below the 0.35 m frustum min
+# of every shipped config. Blocks closer than that lose the voxels that
+# project outside the window for the frame (counted per frame in
+# FrameDiagnostics.n_window_risk via block_windows' clipped flag).
+WU_MAX = 256
+WV_MAX = 384
 
 
 def _win_dims(img_size):
@@ -57,8 +63,10 @@ S3 = 512
 
 def _integrate_kernel(
     ptr_ref,  # scalar-prefetch SMEM [V] int32 — VBA row (sentinel-resolved)
-    bpos_ref,  # scalar-prefetch SMEM [V, 3] int32 — block coords
-    meta_ref,  # scalar-prefetch SMEM [V, 3] int32 — (u0/8, v0/128, valid)
+    bpos_ref,  # scalar-prefetch SMEM [3V] int32 — flat (x,y,z) block coords
+    #   (flat 1-D: a [V,3] operand lane-pads in SMEM to [V,128]·4B — 4 MB at
+    #   V=8192, over the 1 MB SMEM budget; flat costs the true 96 KB)
+    meta_ref,  # scalar-prefetch SMEM [3V] int32 — flat (u0/8, v0/128, valid)
     vox_ref,  # VMEM (1, 1, 512) int32 — packed voxel row of this block
     depth_t_ref,  # VMEM (Wp, Hp) f32 — TRANSPOSED (col-major) depth image
     cam_ref,  # SMEM (32,) f32 — R(9) t(3) fx fy cx cy voxel mu maxw stop enable H W
@@ -75,9 +83,9 @@ def _integrate_kernel(
     ly = (lin >> 3) & (S - 1)
     lz = lin >> 6
 
-    bx = bpos_ref[i, 0]
-    by = bpos_ref[i, 1]
-    bz = bpos_ref[i, 2]
+    bx = bpos_ref[3 * i]
+    by = bpos_ref[3 * i + 1]
+    bz = bpos_ref[3 * i + 2]
     voxel = cam_ref[16]
     mu = cam_ref[17]
     max_w = cam_ref[18]
@@ -104,8 +112,8 @@ def _integrate_kernel(
     ui = jnp.floor(u + 0.5).astype(jnp.int32)
     vi = jnp.floor(v + 0.5).astype(jnp.int32)
 
-    u0 = meta_ref[i, 0] * 8
-    v0 = meta_ref[i, 1] * 128
+    u0 = meta_ref[3 * i] * 8
+    v0 = meta_ref[3 * i + 1] * 128
     cu = ui - u0  # window sublane coord
     rv = vi - v0  # window lane coord
     ok &= (cu >= 0) & (cu < WU) & (rv >= 0) & (rv < WV)
@@ -124,12 +132,19 @@ def _integrate_kernel(
     ohv = (
         jax.lax.broadcasted_iota(jnp.int32, (WV, S3), 0) == rv
     ).astype(jnp.bfloat16)  # [WV, 512]
+    # explicit DEFAULT precision: a global jax_default_matmul_precision =
+    # "highest" otherwise stamps contract_precision<fp32> on these bf16 dots,
+    # which Mosaic rejects ("Bad lhs type") — the one-hot selection is exact
+    # at any precision, so DEFAULT is always correct here
     dn = (((1,), (0,)), ((), ()))
-    q = (
-        jax.lax.dot_general(win_hi, ohv, dn, preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(win_mid, ohv, dn, preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(win_lo, ohv, dn, preferred_element_type=jnp.float32)
-    )  # [WU, 512]: q[uu, i] = depth[v_i, u0 + uu]
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=dn,
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    )
+    q = dot(win_hi, ohv) + dot(win_mid, ohv) + dot(win_lo, ohv)
+    # [WU, 512]: q[uu, i] = depth[v_i, u0 + uu]
     ohu = jax.lax.broadcasted_iota(jnp.int32, (WU, S3), 0) == cu  # [WU, 512]
     dtap = jnp.sum(jnp.where(ohu, q, 0.0), axis=0, keepdims=True)  # [1, 512]
 
@@ -137,7 +152,7 @@ def _integrate_kernel(
     eta = dtap - cz_
     do = ok & (eta >= -mu)
     do &= ptr_ref[i] >= 0
-    do &= meta_ref[i, 2] > 0
+    do &= meta_ref[3 * i + 2] > 0
     do &= enable > 0.0
 
     packed = vox_ref[0, :, :]
@@ -176,10 +191,13 @@ def integrate_blocks(
     Wp, Hp = depth_t.shape
     wu, wv = min(WU_MAX, Wp), min(WV_MAX, Hp)
     kernel = functools.partial(_integrate_kernel, wu=wu, wv=wv)
-    dynamic = n_valid is not None
+    # dynamic grid: steps ∝ actual visible count (the reference launches
+    # <<<noVisibleEntries, 8³>>>); the traced bound goes in the grid tuple
+    # itself — steps ≥ n_valid never run, so their operands are never read
+    grid = (V,) if n_valid is None else (jnp.minimum(n_valid, V),)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(None,) if dynamic else (V,),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(
                 (1, 1, s3), lambda i, p, b, m: (p[i], 0, 0), memory_space=pltpu.VMEM
@@ -201,9 +219,8 @@ def integrate_blocks(
             dimension_semantics=("arbitrary",),
         ),
     )
-    if dynamic:
-        return call(n_valid, ptrs, bpos, meta, vox3, depth_t, cam).reshape(B, s3)
-    return call(ptrs, bpos, meta, vox3, depth_t, cam).reshape(B, s3)
+    out = call(ptrs, bpos.reshape(-1), meta.reshape(-1), vox3, depth_t, cam)
+    return out.reshape(B, s3)
 
 
 def block_windows(
@@ -215,9 +232,11 @@ def block_windows(
     voxel_size: float,
     block_size: int = 8,
 ) -> jnp.ndarray:
-    """Aligned depth-window origins per block → meta [V, 3] int32
-    (u0/8, v0/128, valid). Windows anchor at the min projected corner so a
-    footprint ≤ (WU−7, WV−127) px is fully covered."""
+    """Aligned depth-window origins per block → (meta [V, 3] int32
+    (u0/8, v0/128, valid), clipped [V] bool). Windows anchor at the min
+    projected corner so a footprint ≤ (WU−7, WV−127) px is fully covered;
+    `clipped` flags on-screen blocks whose footprint exceeds that coverage
+    (they fuse partially this frame — the silent-cap counter of SURVEY §5)."""
     H, W = img_size
     Wp = (W + 7) // 8 * 8
     Hp = (H + 127) // 128 * 128
@@ -238,9 +257,16 @@ def block_windows(
                 vs.append(jnp.where(ok, fy * pc[:, 1] / zsafe + cy, 1e9))
     umin = jnp.min(jnp.stack(us, -1), -1)
     vmin = jnp.min(jnp.stack(vs, -1), -1)
+    umax = jnp.max(jnp.stack(us, -1), -1)
+    vmax = jnp.max(jnp.stack(vs, -1), -1)
     u0d8 = jnp.clip(jnp.floor(umin / 8.0).astype(jnp.int32), 0, (Wp - WU) // 8)
     v0d128 = jnp.clip(jnp.floor(vmin / 128.0).astype(jnp.int32), 0, (Hp - WV) // 128)
-    return jnp.stack([u0d8, v0d128, valid.astype(jnp.int32)], axis=1)
+    on_screen = (umax >= 0) & (umin < W) & (vmax >= 0) & (vmin < H)
+    clipped = valid & on_screen & (
+        ((umax - jnp.maximum(umin, 0.0)) > (WU - 8))
+        | ((vmax - jnp.maximum(vmin, 0.0)) > (WV - 128))
+    )
+    return jnp.stack([u0d8, v0d128, valid.astype(jnp.int32)], axis=1), clipped
 
 
 def make_cam_vector(

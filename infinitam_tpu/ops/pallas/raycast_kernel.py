@@ -65,8 +65,10 @@ def _cell_key(bx, by, bz, grid_dims, grid_origin):
 
 
 def _raycast_kernel(
-    page_rows_ref,  # scalar-prefetch SMEM [NT, KP] int32 — pool rows (−1 empty)
-    page_key_ref,  # scalar-prefetch SMEM [NT, KP] int32 — cell keys (−2 empty)
+    page_rows_ref,  # scalar-prefetch SMEM [NT·KP] int32 — pool rows (−1 empty)
+    page_key_ref,  # scalar-prefetch SMEM [NT·KP] int32 — cell keys (−2 empty)
+    #   (flat 1-D: a [1200,48] operand lane-pads in SMEM to 600 KB; two of
+    #   them blow the 1 MB SMEM budget — flat costs the true 230 KB each)
     rays_ref,  # VMEM (1, 8, 256) f32 — ox,oy,oz,dx,dy,dz,L,active
     pool_ref,  # VMEM (NP, 512) int32 — packed voxel rows (sdf byte = top byte)
     out_ref,  # VMEM (1, 8, 256) f32 — px,py,pz,found,t*,sdf,...
@@ -92,9 +94,11 @@ def _raycast_kernel(
     # sublane alignment); the sdf byte is the top byte, so an arithmetic
     # shift recovers the signed int8 sdf exactly.
     def fetch(k, _):
-        row = jnp.maximum(page_rows_ref[ti, k], 0)
+        row = jnp.maximum(page_rows_ref[ti * kp + k], 0)
         pages_i32[pl.ds(k, 1), :] = pool_ref[pl.ds(row, 1), :]
-        keys[pl.ds(k, 1), :] = jnp.full((1, NRAY), page_key_ref[ti, k], jnp.int32)
+        keys[pl.ds(k, 1), :] = jnp.full(
+            (1, NRAY), page_key_ref[ti * kp + k], jnp.int32
+        )
         return 0
 
     jax.lax.fori_loop(0, kp, fetch, 0, unroll=True)
@@ -139,8 +143,12 @@ def _raycast_kernel(
         +1 where no page covers the sample (empty space)."""
         cell, lin = cellkey_and_lin(px, py, pz)
         ohl = (iota_l == lin).astype(jnp.bfloat16)  # [512, 256]
+        # explicit DEFAULT precision: immune to a global
+        # jax_default_matmul_precision="highest" (Mosaic rejects bf16 dots
+        # stamped contract_precision<fp32>); one-hot selection is exact
         q = jax.lax.dot_general(
             pages[:], ohl, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=jnp.float32,
         )  # [KP, 256]
         ohk = keys[:] == cell  # [KP, 256]
@@ -152,8 +160,11 @@ def _raycast_kernel(
     # step = max(sdf · mu/voxelSize, 1 voxel) like the reference castRay
     # (a fixed-count sampler can skip the ±mu band at grazing incidence);
     # t_march bounds the step count, crawling stragglers give up at the bound
+    # found is carried as f32 0/1, not bool: Mosaic fails to legalize i1
+    # vector carries at the scf.while yield ("failed to legalize scf.yield")
     def march_body(state):
-        j, t_cur, sdf_prev, t_prev, found, t_star, sdf_lo, sdf_hi = state
+        j, t_cur, sdf_prev, t_prev, foundf, t_star, sdf_lo, sdf_hi = state
+        found = foundf > 0.5
         sdf = tap(o_x + d_x * t_cur, o_y + d_y * t_cur, o_z + d_z * t_cur)
         cross = (~found) & act0 & (sdf <= 0.0)
         # secant between the bracketing samples (sdf_prev > 0 ≥ sdf)
@@ -167,21 +178,29 @@ def _raycast_kernel(
         advance = (~found) & act0 & (t_cur <= lray)
         step = jnp.maximum(sdf * step_scale, 1.0)
         t_next = jnp.where(advance, t_cur + step, t_cur)
-        return j + 1, t_next, sdf, t_cur, found, t_star, sdf_lo, sdf_hi
+        return (
+            j + 1, t_next, sdf, t_cur, jnp.where(found, one, zero),
+            t_star, sdf_lo, sdf_hi,
+        )
 
     def march_cond(state):
-        j, t_cur, _sdf, _t, found, *_ = state
-        live = act0 & (~found) & (t_cur <= lray)
+        j, t_cur, _sdf, _t, foundf, *_ = state
+        live = act0 & (foundf <= 0.5) & (t_cur <= lray)
         return (j < t_march) & jnp.any(live)
 
-    one = jnp.ones((1, NRAY), jnp.float32)
-    zero = jnp.zeros((1, NRAY), jnp.float32)
+    # init carries DERIVED FROM TRACED DATA (o_x * 0), not jnp constants: a
+    # constant splat init pins the while-carry layout to "replicated", and
+    # Mosaic cannot relayout the body's computed (concrete-layout) yield back
+    # to replicated — the "Invalid relayout ... {*,*},(8,128)" compile crash
+    zero = o_x * 0.0
+    one = zero + 1.0
     init = (
-        jnp.int32(0), zero, one, zero, jnp.zeros((1, NRAY), bool), zero, one, -one
+        jnp.int32(0), zero, one, zero, zero, zero, one, -one
     )
-    _j, _tc, sdf_last, _t, found, t_star, _lo, _hi = jax.lax.while_loop(
+    _j, _tc, sdf_last, _t, foundf, t_star, _lo, _hi = jax.lax.while_loop(
         march_cond, march_body, init
     )
+    found = foundf > 0.5
 
     # ---- trilinear refinement (reference castRay:141-150) -----------------
     def tri_round(t_star):
@@ -206,6 +225,7 @@ def _raycast_kernel(
         ohl = (iota_l == lin).astype(jnp.bfloat16)
         q8 = jax.lax.dot_general(
             p8[:], ohl, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=jnp.float32,
         )  # [8·KP, 256]
         ohk = (keys[:] == cell).astype(jnp.float32)  # [KP, 256]
@@ -290,7 +310,7 @@ def raycast_tiles(
         out_shape=jax.ShapeDtypeStruct((nt, 8, NRAY), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(page_rows, page_key, rays, pool_packed)
+    )(page_rows.reshape(-1), page_key.reshape(-1), rays, pool_packed)
 
 
 # --------------------------------------------------------------------------

@@ -57,7 +57,7 @@ def main():
     pose = state.pose
 
     alloc = jax.jit(lambda v, r: hp.allocate_scene_from_depth(v, r, depth, pose, proj, settings))
-    vol2, rs2 = timeit("allocate_scene_from_depth", alloc, vol, rs)
+    vol2, rs2, _ovf = timeit("allocate_scene_from_depth", alloc, vol, rs)
 
     integ = jax.jit(
         lambda v, r: hp.integrate_into_scene(v, r, View(depth=depth), pose, proj, settings)

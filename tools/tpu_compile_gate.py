@@ -1,0 +1,192 @@
+"""On-chip compile gate: prove both Pallas kernels + the full frame compile
+and run at the BENCH operating point, under bench.py's exact jax config.
+
+Run this before every snapshot (VERDICT r2 item 2): `tests/` forces CPU +
+interpret mode, so Mosaic lowering failures are invisible to pytest — this
+gate is the only thing standing between "tests green" and an rc=1 bench.
+
+Usage:  python tools/tpu_compile_gate.py [--fast]
+Exit 0 = all gates pass. Takes <3 min warm (persistent compile cache).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# bench.py's exact config (the r2 rc=1 shipped because the kernels were only
+# ever compiled WITHOUT this flag)
+jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_compilation_cache_dir", "/tmp/itpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def gate(name, fn):
+    t0 = time.perf_counter()
+    try:
+        fn()
+    except Exception as e:  # noqa: BLE001
+        dt = time.perf_counter() - t0
+        msg = str(e).split("\n")[0][:300]
+        print(f"FAIL  {name}  ({dt:.1f}s): {type(e).__name__}: {msg}")
+        return False
+    dt = time.perf_counter() - t0
+    print(f"ok    {name}  ({dt:.1f}s)")
+    return True
+
+
+def gate_integrate():
+    """Integrate kernel at bench scale: V=8192 grid, 64k-block VBA, 640×480."""
+    from infinitam_tpu.ops.pallas import integrate_kernel as ik
+
+    V, B = 8192, 0x10000
+    img = (480, 640)
+    rng = np.random.default_rng(0)
+    vox = jnp.zeros((B, 512), jnp.int32)
+    ptrs = jnp.asarray(rng.integers(0, B - 1, size=(V,)), jnp.int32)
+    bpos = jnp.asarray(rng.integers(-20, 20, size=(V, 3)), jnp.int32)
+    pose = jnp.eye(4)
+    proj = jnp.array([525.0, 525.0, 319.5, 239.5], jnp.float32)
+    depth = jnp.asarray(rng.uniform(0.5, 3.0, size=img), jnp.float32)
+    valid = jnp.ones((V,), bool)
+    meta, _clipped = ik.block_windows(bpos, valid, pose, proj, img, 0.01)
+    cam = ik.make_cam_vector(pose, proj, 0.01, 0.04, 100, False, True, img)
+    depth_t = ik.prep_depth_t(depth)
+    out = ik.integrate_blocks(vox, ptrs, bpos, meta, depth_t, cam)
+    jax.block_until_ready(out)
+    # dynamic grid variant (n_valid traced)
+    out2 = jax.jit(
+        lambda v, n: ik.integrate_blocks(v, ptrs, bpos, meta, depth_t, cam, n_valid=n)
+    )(vox, jnp.int32(1200))
+    jax.block_until_ready(out2)
+
+
+def gate_raycast():
+    """Raycast kernel at bench scale: NT=1200 tiles, KP=48, t_march=64."""
+    from infinitam_tpu.config import Settings
+    from infinitam_tpu.ops.pallas import raycast_kernel as rk
+
+    s = Settings()
+    nt, kp = 1200, s.raycast_pages_per_tile
+    np_pool = 2048
+    rng = np.random.default_rng(1)
+    page_rows = jnp.asarray(rng.integers(-1, np_pool, size=(nt, kp)), jnp.int32)
+    page_key = jnp.asarray(rng.integers(-2, 64**3, size=(nt, kp)), jnp.int32)
+    rays = jnp.asarray(rng.uniform(-1, 1, size=(nt, 8, 256)), jnp.float32)
+    rays = rays.at[:, 6, :].set(100.0).at[:, 7, :].set(1.0)
+    pool = jnp.asarray(
+        rng.integers(-(2**31), 2**31 - 1, size=(np_pool, 512)), jnp.int32
+    )
+    out = rk.raycast_tiles(
+        page_rows, page_key, rays, pool,
+        t_march=s.raycast_t_march,
+        step_scale=4.0,
+        grid_dims=s.block_grid.dims,
+        grid_origin=s.block_grid.origin,
+    )
+    jax.block_until_ready(out)
+
+
+def gate_frame():
+    """One full process_frame_hash at 640×480, reference capacities, Pallas on."""
+    from infinitam_tpu.calib import default_calib
+    from infinitam_tpu.config import (
+        SceneParams,
+        Settings,
+        TrackingParams,
+        VoxelBlockHashParams,
+    )
+    from infinitam_tpu.engine import hash_pipeline as hp
+    from infinitam_tpu.engine.view_builder import View
+    from infinitam_tpu.io import synth
+
+    img = (480, 640)
+    settings = Settings(
+        scene=SceneParams(voxel_size=0.01, mu=0.04, view_frustum_min=0.35,
+                          view_frustum_max=3.0),
+        hashing=VoxelBlockHashParams(),
+        tracking=TrackingParams(),
+    )
+    calib = default_calib(img[1], img[0])
+    proj = jnp.asarray(calib.intrinsics_d.vector)
+    src = synth.SyntheticSource(calib, n_frames=3, img_size=img)
+    vol, rs, state = hp.create_engine_state(settings, img)
+    for _ in range(2):
+        depth, _rgb, _gt = src.get_images()
+        vol, rs, state, diag = hp.process_frame_hash(
+            vol, rs, state, View(depth=depth), proj, settings
+        )
+    jax.block_until_ready(state.pose)
+    nv = int(diag.num_valid)
+    assert nv > 1000, f"frame gate: tracker num_valid={nv} (expected >1000)"
+
+
+def gate_frame_vs_oracle():
+    """Bit-level sanity: Pallas frame vs XLA-oracle frame on the same input
+    stay within quantization tolerance (pose agreement ≤ 1 mm)."""
+    from infinitam_tpu.calib import default_calib
+    from infinitam_tpu.config import (
+        SceneParams,
+        Settings,
+        TrackingParams,
+        VoxelBlockHashParams,
+    )
+    from infinitam_tpu.engine import hash_pipeline as hp
+    from infinitam_tpu.engine.view_builder import View
+    from infinitam_tpu.io import synth
+
+    img = (480, 640)
+    base = dict(
+        scene=SceneParams(voxel_size=0.01, mu=0.04, view_frustum_min=0.35,
+                          view_frustum_max=3.0),
+        hashing=VoxelBlockHashParams(),
+        tracking=TrackingParams(),
+    )
+    calib = default_calib(img[1], img[0])
+    proj = jnp.asarray(calib.intrinsics_d.vector)
+
+    poses = {}
+    for tag, pallas in (("pallas", True), ("xla", False)):
+        settings = Settings(
+            use_pallas_raycast=pallas, use_pallas_integrate=pallas, **base
+        )
+        src = synth.SyntheticSource(calib, n_frames=4, img_size=img)
+        vol, rs, state = hp.create_engine_state(settings, img)
+        for _ in range(4):
+            depth, _rgb, _gt = src.get_images()
+            vol, rs, state, _ = hp.process_frame_hash(
+                vol, rs, state, View(depth=depth), proj, settings
+            )
+        poses[tag] = np.asarray(state.pose)
+    dt = np.abs(poses["pallas"][:3, 3] - poses["xla"][:3, 3]).max()
+    assert dt < 1e-3, f"pallas-vs-xla pose drift {dt*1000:.2f} mm > 1 mm"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true",
+                    help="kernel compile gates only (skip full-frame runs)")
+    args = ap.parse_args()
+
+    assert jax.default_backend() == "tpu", (
+        f"gate must run on TPU (got {jax.default_backend()}) — "
+        "it exists precisely because CPU tests cannot see Mosaic failures"
+    )
+    gates = [("integrate@bench", gate_integrate), ("raycast@bench", gate_raycast)]
+    if not args.fast:
+        gates += [("frame@640x480", gate_frame),
+                  ("frame-vs-oracle", gate_frame_vs_oracle)]
+    ok = all([gate(n, f) for n, f in gates])
+    print("GATE " + ("PASS" if ok else "FAIL"))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -84,6 +84,24 @@ def main():
         errs.append(np.sum((c_est - c_gt) ** 2))
     ate_rmse = float(np.sqrt(np.mean(errs)))
 
+    # silent-cap hygiene (SURVEY §5): report the graceful-degradation counters
+    # of the LAST frame on stderr (stdout stays the single JSON line)
+    print(
+        "diag(last frame): "
+        + " ".join(
+            f"{k}={int(getattr(diag, k))}"
+            for k in (
+                "n_visible",
+                "n_alloc_overflow",
+                "n_render_overflow",
+                "n_pool_overflow",
+                "n_too_big_blocks",
+                "n_window_clipped",
+            )
+        ),
+        file=sys.stderr,
+    )
+
     diverged = not (ate_rmse < 0.01)
     print(
         json.dumps(

@@ -121,6 +121,9 @@ class TrackingParams:
     divergence_f_threshold: float = 1e4
     # Run ICP only down to this level (reference noICPRunTillLevel=0).
     no_icp_run_till_level: int = 0
+    # Flagship Pallas ICP residual kernel (ops/pallas/icp_kernel.py): used on
+    # TPU; CPU (tests) falls back to the XLA-gather oracle in ops/icp.py.
+    use_pallas_icp: bool = True
     # Color tracker (reference: ITMColorTracker.cpp): LM trust region.
     color_n_levels: int = 4
     color_skip_points: bool = True

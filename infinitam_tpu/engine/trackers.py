@@ -123,6 +123,20 @@ def track_depth(
     f_final = jnp.array(1e5, dtype=jnp.float32)
     n_final = jnp.array(0, dtype=jnp.int32)
 
+    # Flagship TPU residual pass (ops/pallas/icp_kernel.py): windowed
+    # one-hot-matmul bilinear map taps instead of 20 ms of XLA gathers per
+    # fine-level iteration. CPU (tests) falls back to the XLA oracle.
+    use_pallas = params.use_pallas_icp and jax.default_backend() == "tpu"
+    planes = None
+    weight_tiles: List[Optional[jnp.ndarray]] = [None] * params.n_levels
+    if use_pallas:
+        from infinitam_tpu.ops.pallas import icp_kernel as ik
+
+        planes = ik.prep_maps(points_map, normals_map)
+        weight_tiles = [
+            None if w is None else ik.tileize(w).reshape(-1) for w in weight_pyr
+        ]
+
     for lvl in range(params.n_levels - 1, params.no_icp_run_till_level - 1, -1):
         mode = modes[lvl]
         d_lvl = depth_pyr[lvl]
@@ -131,18 +145,32 @@ def track_depth(
         dist_thresh = dists[lvl]
         n_iter = iters[lvl]
 
-        def body(_i, s: _LevelState, *, d_lvl=d_lvl, vproj=vproj, mode=mode, dist_thresh=dist_thresh, w_lvl=w_lvl):
-            b, A, valid, _p = icp.compute_residuals(
-                d_lvl,
-                vproj,
-                points_map,
-                normals_map,
-                view_proj,  # scene maps are full-res → level-0 intrinsics
-                s.inv_pose,
-                scene_pose,
-                dist_thresh,
-            )
-            gh = icp.reduce_gh(b, A, valid, params.min_valid_points, weights=w_lvl)
+        w_tiles = weight_tiles[lvl]
+
+        def body(_i, s: _LevelState, *, d_lvl=d_lvl, vproj=vproj, mode=mode,
+                 dist_thresh=dist_thresh, w_lvl=w_lvl, w_tiles=w_tiles, lvl=lvl):
+            if use_pallas:
+                from infinitam_tpu.ops.pallas import icp_kernel as ik
+
+                b, A, valid = ik.residuals_tiles(
+                    d_lvl, vproj, planes, view_proj, s.inv_pose, scene_pose,
+                    dist_thresh, points_map.shape[:2], lvl,
+                )
+                gh = icp.reduce_gh(
+                    b, A, valid, params.min_valid_points, weights=w_tiles
+                )
+            else:
+                b, A, valid, _p = icp.compute_residuals(
+                    d_lvl,
+                    vproj,
+                    points_map,
+                    normals_map,
+                    view_proj,  # scene maps are full-res → level-0 intrinsics
+                    s.inv_pose,
+                    scene_pose,
+                    dist_thresh,
+                )
+                gh = icp.reduce_gh(b, A, valid, params.min_valid_points, weights=w_lvl)
 
             reject = (gh.num_valid <= 0) | (gh.f > s.f_old)
             nv = jnp.maximum(gh.num_valid, 1).astype(jnp.float32)

@@ -139,9 +139,11 @@ class Settings:
     block_grid: BlockGridParams = BlockGridParams()
     use_block_grid: bool = True  # raycast through the dense block-index cache
     # allocation-ray pixel stride (1 = reference-faithful every-pixel march;
-    # 2 quarters the probe cost with near-identical coverage — see
+    # s cuts the candidate gather/scatter cost s²× with near-identical
+    # coverage — an 8 cm block spans ≥14 px even at the 3 m frustum far
+    # plane, so stride 4 still touches every surface block — see
     # hash_pipeline.allocate_scene_from_depth)
-    alloc_subsample: int = 2
+    alloc_subsample: int = 4
     # hierarchical raycast: coarse pass at 1/factor res bounds the full-res
     # march (1 disables; requires image dims divisible by the factor). With
     # straggler compaction in the march (ops/raycast.py) the coarse pass
@@ -193,9 +195,12 @@ class Settings:
 
 
 def tiny_test_settings() -> Settings:
-    """Small capacities for fast CPU tests."""
+    """Small capacities for fast CPU tests. alloc_subsample stays at 2: the
+    stride-4 default is budgeted for 640×480 (blocks span ≥14 px); tiny test
+    images need the denser allocation sampling."""
     return Settings(
         scene=SceneParams(voxel_size=0.02, mu=0.08),
+        alloc_subsample=2,
         hashing=VoxelBlockHashParams(
             n_buckets=0x1000,
             n_excess=0x200,

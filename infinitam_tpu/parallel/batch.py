@@ -37,7 +37,9 @@ def batched_state_hash(settings: Settings, img_size: Tuple[int, int], batch: int
     """[B]-leading engine state for `batch` independent sequences."""
 
     def one(_):
-        vol = hv.create_hash(settings.hashing, with_color=settings.use_color)
+        vol = hv.create_hash(
+            settings.hashing, with_color=settings.use_color, grid_params=settings.block_grid
+        )
         rs = hv.create_render_state(settings.hashing)
         st = create_tracking_state(img_size)
         return vol, rs, st

@@ -164,3 +164,59 @@ def test_sdf_quantization_roundtrip_and_accuracy():
     c = jnp.linspace(0.0, 1.0, 256)
     cq = hv.clr_from_q(hv.clr_to_q(c))
     assert float(jnp.max(jnp.abs(cq - c))) <= 0.5 / 255.0 + 1e-7
+
+
+def test_incremental_caches_match_rebuild():
+    """The incrementally-maintained accelerator caches (entry_grid /
+    block_grid / alloc_entries) must stay exact mirrors of the hash state
+    across inserts, swap-out eviction and swapped-in reallocation."""
+    from infinitam_tpu.config import tiny_test_settings
+    from infinitam_tpu.engine import swapping as sw
+
+    settings = tiny_test_settings()
+    hp_ = settings.hashing
+    gp = settings.block_grid
+    vol = hv.create_hash(hp_, grid_params=gp)
+    vt = jnp.zeros((hp_.n_entries,), dtype=jnp.int32)
+
+    rng = np.random.default_rng(0)
+    for step in range(3):
+        blocks = jnp.asarray(
+            rng.integers(-8, 12, size=(16, 3)), dtype=jnp.int32
+        )
+        valid = jnp.asarray(rng.random(16) < 0.8)
+        vol, vt = hv.insert_blocks(vol, vt, blocks, valid, hp_, grid_params=gp)
+        vol, vt = hv.insert_blocks(vol, vt, blocks, valid, hp_, grid_params=gp)
+
+    def check(v):
+        ref = hv.refresh_caches(v, gp)
+        np.testing.assert_array_equal(np.asarray(v.entry_grid), np.asarray(ref.entry_grid))
+        np.testing.assert_array_equal(np.asarray(v.block_grid), np.asarray(ref.block_grid))
+        # alloc_entries is insertion-ordered, the rebuild ascending: compare sets
+        got = set(int(x) for x in np.asarray(v.alloc_entries) if x >= 0)
+        want = set(int(x) for x in np.asarray(ref.alloc_entries) if x >= 0)
+        assert got == want
+        assert int(v.n_alloc_entries) == int(ref.n_alloc_entries)
+
+    check(vol)
+
+    # swap-out eviction: invisible state-2 entries lose their block
+    swap_states = jnp.full((hp_.n_entries,), 2, dtype=jnp.int32)
+    vt0 = jnp.zeros_like(vt)  # everything invisible -> evictable
+    vol2, _ss, _ids, _bs, _bw, _bc, _bwc, n = sw.evict_blocks(
+        vol, swap_states, vt0, settings
+    )
+    assert int(n) > 0
+    check(vol2)
+
+    # reallocation of swapped-out entries that became visible again
+    E = hp_.n_entries
+    vis_ids = jnp.nonzero(
+        vol2.entry_ptr == hv.SWAPPED_PTR, size=hp_.max_visible_blocks, fill_value=-1
+    )[0].astype(jnp.int32)
+    vt2 = jnp.zeros((E,), jnp.int32).at[jnp.where(vis_ids >= 0, vis_ids, E)].set(
+        hv.VT_VISIBLE, mode="drop"
+    )
+    vol3 = sw.reallocate_swapped_out(vol2, vt2, settings, visible_ids=vis_ids)
+    assert int(jnp.sum(vol3.entry_ptr == hv.SWAPPED_PTR)) == 0
+    check(vol3)

@@ -24,6 +24,7 @@ IMG = (60, 80)
 def settings_for(tt: TrackerType, **kw) -> Settings:
     return Settings(
         scene=SceneParams(voxel_size=0.025, mu=0.1, view_frustum_min=0.3, view_frustum_max=3.0),
+        alloc_subsample=2,  # stride 4 is budgeted for 640×480, not 60×80
         hashing=VoxelBlockHashParams(
             n_buckets=0x4000, n_excess=0x400, n_blocks=0x1800, max_visible_blocks=0x1000
         ),

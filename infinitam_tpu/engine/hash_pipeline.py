@@ -439,8 +439,9 @@ def expected_depth_ranges(
     (reference: CreateExpectedDepths → projectAndSplitBlocks + fillBlocks —
     atomicMin/Max z into a ×8-subsampled minmax image → scatter-min/max here).
 
-    Returns (zmin, zmax) at FULL resolution (upsampled from the subsampled
-    grid like the reference's raycast lookup does).
+    Returns (zmin, zmax, n_too_big) — ranges at FULL resolution (upsampled
+    from the subsampled grid like the reference's raycast lookup does) plus
+    the count of blocks whose range degraded to the full frustum.
     """
     hp = settings.hashing
     sp = settings.scene
@@ -472,29 +473,84 @@ def expected_depth_ranges(
     zmin_b = jnp.where(behind, sp.view_frustum_min, zmin_b)
     zmax_b = jnp.where(behind, sp.view_frustum_max, zmax_b)
 
-    # rasterize bboxes into the subsampled minmax grid with scatter-min/max.
-    # Blocks are small after projection; cap the bbox tile at MAX_T cells and
-    # let oversized blocks (very close to the camera) widen to the frustum
-    # (counted per frame by count_too_big_blocks → FrameDiagnostics).
+    # Rasterize bboxes into the subsampled minmax grid with scatter-min/max.
+    # Two-tier tiling: most blocks project to ≤SMALL_T cells per axis, so
+    # scattering every block with the worst-case MAX_T×MAX_T tile wastes ~4×
+    # the scatter elements (scatters cost ~10-60 ns/element on TPU —
+    # PERF_NOTES.md). Compact the few larger blocks into their own MAX_T
+    # raster; blocks beyond MAX_T (very close to the camera) widen to the
+    # frustum (counted in n_too_big → FrameDiagnostics).
     MAX_T = MINMAX_MAX_T
-    too_big = ((u1 - u0) >= MAX_T) | ((v1 - v0) >= MAX_T)
+    SMALL_T = 4
+    du_c = u1 - u0
+    dv_c = v1 - v0
+    too_big = (du_c >= MAX_T) | (dv_c >= MAX_T)
+    n_too_big = jnp.sum(valid & too_big).astype(jnp.int32)
+    is_large = valid & ~too_big & ((du_c >= SMALL_T) | (dv_c >= SMALL_T))
+    is_small = valid & ~too_big & ~is_large
     zmin_b = jnp.where(too_big, sp.view_frustum_min, zmin_b)
     zmax_b = jnp.where(too_big, sp.view_frustum_max, zmax_b)
-    u1c = jnp.minimum(u1, u0 + MAX_T - 1)
-    v1c = jnp.minimum(v1, v0 + MAX_T - 1)
 
     zmin_img = jnp.full((Hs * Ws,), sp.view_frustum_max, dtype=jnp.float32)
     zmax_img = jnp.full((Hs * Ws,), sp.view_frustum_min, dtype=jnp.float32)
-    dus = jnp.arange(MAX_T)
-    dvs = jnp.arange(MAX_T)
-    uu = u0[:, None, None] + dus[None, :, None]  # [V, T, 1]
-    vv = v0[:, None, None] + dvs[None, None, :]  # [V, 1, T]
-    in_box = (uu <= u1c[:, None, None]) & (vv <= v1c[:, None, None]) & valid[:, None, None]
-    flat = jnp.where(in_box, vv * Ws + uu, Hs * Ws)  # out-of-range → dropped
-    zmin_v = jnp.broadcast_to(zmin_b[:, None, None], flat.shape)
-    zmax_v = jnp.broadcast_to(zmax_b[:, None, None], flat.shape)
-    zmin_img = zmin_img.at[flat.reshape(-1)].min(zmin_v.reshape(-1), mode="drop")
-    zmax_img = zmax_img.at[flat.reshape(-1)].max(zmax_v.reshape(-1), mode="drop")
+
+    LARGE_CAP = max(ids.shape[0] // 8, 256)
+    lidx = jnp.nonzero(is_large, size=LARGE_CAP, fill_value=-1)[0]
+    lvalid = lidx >= 0
+    lidx_c = jnp.clip(lidx, 0, ids.shape[0] - 1)
+
+    def raster(z_lo, z_hi, u0t, v0t, u1t, v1t, ok, T):
+        nonlocal zmin_img, zmax_img
+        dus = jnp.arange(T)
+        uu = u0t[:, None, None] + dus[None, :, None]  # [N, T, 1]
+        vv = v0t[:, None, None] + dus[None, None, :]  # [N, 1, T]
+        in_box = (uu <= u1t[:, None, None]) & (vv <= v1t[:, None, None]) & ok[:, None, None]
+        flat = jnp.where(in_box, vv * Ws + uu, Hs * Ws)  # out-of-range → dropped
+        zl = jnp.broadcast_to(z_lo[:, None, None], flat.shape)
+        zh = jnp.broadcast_to(z_hi[:, None, None], flat.shape)
+        zmin_img = zmin_img.at[flat.reshape(-1)].min(zl.reshape(-1), mode="drop")
+        zmax_img = zmax_img.at[flat.reshape(-1)].max(zh.reshape(-1), mode="drop")
+
+    raster(
+        zmin_b, zmax_b, u0, v0,
+        jnp.minimum(u1, u0 + SMALL_T - 1), jnp.minimum(v1, v0 + SMALL_T - 1),
+        is_small, SMALL_T,
+    )
+    # the overflow of the large-tier compaction falls back into the small
+    # raster with a clipped tile — count it as too-big (range loosens)
+    l_overflow = jnp.maximum(jnp.sum(is_large) - LARGE_CAP, 0)
+    n_too_big = n_too_big + l_overflow.astype(jnp.int32)
+    raster(
+        zmin_b[lidx_c], zmax_b[lidx_c], u0[lidx_c], v0[lidx_c],
+        jnp.minimum(u1[lidx_c], u0[lidx_c] + MAX_T - 1),
+        jnp.minimum(v1[lidx_c], v0[lidx_c] + MAX_T - 1),
+        lvalid, MAX_T,
+    )
+    # large blocks that did not fit the compaction cap: widen their cells'
+    # ranges to the frustum so the march stays correct (rare; counted above)
+    def widen(imgs):
+        zmin_i, zmax_i = imgs
+        ov = jnp.nonzero(is_large, size=ids.shape[0], fill_value=-1)[0][LARGE_CAP:]
+        ovc = jnp.clip(ov, 0, ids.shape[0] - 1)
+        dus = jnp.arange(MAX_T)
+        uu = u0[ovc][:, None, None] + dus[None, :, None]
+        vv = v0[ovc][:, None, None] + dus[None, None, :]
+        in_box = (
+            (uu <= u1[ovc][:, None, None]) & (vv <= v1[ovc][:, None, None])
+            & (ov >= 0)[:, None, None]
+        )
+        flat = jnp.where(in_box, vv * Ws + uu, Hs * Ws)
+        zmin_i = zmin_i.at[flat.reshape(-1)].min(
+            jnp.full((flat.size,), sp.view_frustum_min), mode="drop"
+        )
+        zmax_i = zmax_i.at[flat.reshape(-1)].max(
+            jnp.full((flat.size,), sp.view_frustum_max), mode="drop"
+        )
+        return zmin_i, zmax_i
+
+    zmin_img, zmax_img = jax.lax.cond(
+        l_overflow > 0, widen, lambda imgs: imgs, (zmin_img, zmax_img)
+    )
 
     zmin_img = zmin_img.reshape(Hs, Ws)
     zmax_img = zmax_img.reshape(Hs, Ws)
@@ -504,10 +560,18 @@ def expected_depth_ranges(
     zmax_img = jnp.where(empty, sp.view_frustum_max, zmax_img)
 
     # upsample to full res (nearest; reference raycast reads the subsampled
-    # image directly at x/8)
+    # image directly at x/8). Exact-division images upsample as a dense
+    # broadcast-reshape (~free); the gather path (15 ns × 2·H·W) is the
+    # ragged-edge fallback only.
+    if H % sub == 0 and W % sub == 0:
+        def up(img):
+            return jnp.broadcast_to(
+                img[:, None, :, None], (Hs, sub, Ws, sub)
+            ).reshape(H, W)
+        return up(zmin_img), up(zmax_img), n_too_big
     rows = jnp.arange(H) // sub
     cols = jnp.arange(W) // sub
-    return zmin_img[rows][:, cols], zmax_img[rows][:, cols]
+    return zmin_img[rows][:, cols], zmax_img[rows][:, cols], n_too_big
 
 
 def raycast_hash_pallas(
@@ -530,7 +594,7 @@ def raycast_hash_pallas(
     hp = settings.hashing
     gp = settings.block_grid
     H, W = img_size
-    zmin, zmax = expected_depth_ranges(vol, render_state, pose, proj, img_size, settings)
+    zmin, zmax, _ntb = expected_depth_ranges(vol, render_state, pose, proj, img_size, settings)
 
     # --- packed-voxel pool of the visible blocks (kernel extracts the sdf
     # top byte with an arithmetic shift; int32 rows are the only layout
@@ -605,7 +669,7 @@ def raycast_hash(
     if _pallas_raycast_available(img_size, settings):
         return raycast_hash_pallas(vol, render_state, pose, proj, img_size, settings)
     sp = settings.scene
-    zmin, zmax = expected_depth_ranges(vol, render_state, pose, proj, img_size, settings)
+    zmin, zmax, _ntb = expected_depth_ranges(vol, render_state, pose, proj, img_size, settings)
     if settings.use_block_grid:
         grid = hv.get_block_grid(vol, settings.block_grid, settings.hashing)
         read = hv.make_grid_reader(vol, grid, settings.block_grid, settings.hashing)

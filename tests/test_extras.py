@@ -48,7 +48,7 @@ def test_forward_render_fills_most_pixels():
     depth, vol, rs, st = _fused()
     sp = SETTINGS.scene
     new_pose = se3.se3_exp(jnp.array([0.01, 0.005, -0.008, 0.004, -0.006, 0.003]))
-    zmin, zmax = hp.expected_depth_ranges(vol, rs, new_pose, PROJ, IMG, SETTINGS)
+    zmin, zmax, _ntb = hp.expected_depth_ranges(vol, rs, new_pose, PROJ, IMG, SETTINGS)
     grid = hv.build_block_grid(vol, SETTINGS.block_grid, SETTINGS.hashing)
     read = hv.make_grid_reader(vol, grid, SETTINGS.block_grid, SETTINGS.hashing)
     fwd = rc.forward_render(

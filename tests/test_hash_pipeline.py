@@ -76,7 +76,7 @@ def test_raycast_matches_depth(fused):
 
 def test_expected_depth_ranges_bound_surface(fused):
     depth, vol, rs, state, diag = fused
-    zmin, zmax = hp.expected_depth_ranges(vol, rs, jnp.eye(4), PROJ, IMG, SETTINGS)
+    zmin, zmax, _ntb = hp.expected_depth_ranges(vol, rs, jnp.eye(4), PROJ, IMG, SETTINGS)
     d = np.asarray(depth)
     zmin = np.asarray(zmin)
     zmax = np.asarray(zmax)

@@ -57,7 +57,14 @@ class VoxelBlockHashParams:
     n_blocks: int = 0x10000  # live voxel blocks on device (SDF_LOCAL_BLOCK_NUM)
     n_transfer_blocks: int = 0x1000  # swap slab size (SDF_TRANSFER_BLOCK_NUM)
     n_global_blocks: int = 0x120000  # host-side store (SDF_GLOBAL_BLOCK_NUM)
-    max_visible_blocks: int = 0x10000  # visible-list capacity
+    # Visible-list capacity. The reference sizes its visibleEntryIDs buffer
+    # at SDF_LOCAL_BLOCK_NUM (0x10000) because a CUDA buffer is free to
+    # over-allocate; here every per-frame compaction/recheck pays the STATIC
+    # capacity, so it is sized to real visibility: a 640×480 frustum sees
+    # ~2 k blocks at 1 cm voxels and ~8 k at the 5 mm reference default —
+    # 16 k leaves 2× headroom (overflow degrades gracefully and is counted
+    # in FrameDiagnostics.n_render_overflow).
+    max_visible_blocks: int = 0x4000
 
     @property
     def block_volume(self) -> int:
@@ -155,11 +162,13 @@ class Settings:
     use_pallas_raycast: bool = True
     raycast_t_march: int = 64  # static bound on adaptive march steps per ray
     raycast_pages_per_tile: int = 48  # KP: voxel blocks resident per 16×16 tile
-    # NP: rows of the VMEM-resident packed-voxel pool the Pallas raycast taps.
-    # 2048 rows = 4 MB VMEM (int32×512); 8192 would be 16 MB — at the VMEM
-    # budget of common TPU generations. Typical visible counts are 1-2 k;
-    # overflow blocks are dropped far-first and counted in FrameDiagnostics.
-    raycast_pool_blocks: int = 2048
+    # NP: visible blocks considered by the page-list builder (visible_ids is
+    # compacted, so this slices the nearest-allocated prefix; pages stream
+    # from HBM in the kernel so there is NO VMEM pool limit — this only caps
+    # the XLA-side projection/sort work). Typical visible counts are 1-2 k at
+    # 1 cm voxels, ~4× that at the 5 mm reference operating point; overflow
+    # is counted in FrameDiagnostics.n_render_overflow.
+    raycast_page_blocks: int = 4096
     # Flagship Pallas integrate kernel (ops/pallas/integrate_kernel.py): one
     # grid step per visible block, in-place packed-row write-back. Used on
     # TPU for depth-only fusion; color fusion and CPU fall back to the XLA

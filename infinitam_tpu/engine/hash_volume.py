@@ -143,11 +143,21 @@ class HashVolume(NamedTuple):
 
 
 class RenderStateVH(NamedTuple):
-    """Visible-entry bookkeeping (reference: ITMRenderState_VH:18)."""
+    """Visible-entry bookkeeping (reference: ITMRenderState_VH:18).
+
+    The compact `visible_ids` list is canonical. `visible_type` keeps the
+    reference's per-entry code plane for the swapping protocol and the legacy
+    (oracle) alloc path; the fast alloc path maintains it only when swapping
+    is on. `cell_epoch`/`entry_epoch`/`epoch` power the round-4 compact
+    allocator: cells/entries touched this frame are tagged with the frame
+    epoch instead of rewriting [E]-sized planes (VERDICT r3 item 1b)."""
 
     visible_type: jnp.ndarray  # [E] int32 (VT_* codes)
     visible_ids: jnp.ndarray  # [V] int32, −1 padding
     n_visible: jnp.ndarray  # scalar int32
+    cell_epoch: Optional[jnp.ndarray] = None  # [G³] int32 — frame tag per grid cell
+    entry_epoch: Optional[jnp.ndarray] = None  # [E] int32 — frame tag (OOG dedupe)
+    epoch: Optional[jnp.ndarray] = None  # scalar int32 — current frame tag
 
 
 def sentinel_row(params: VoxelBlockHashParams) -> int:
@@ -212,11 +222,20 @@ def grid_cell(block_pos: jnp.ndarray, grid_params) -> Tuple[jnp.ndarray, jnp.nda
     return (g[..., 0] * gy + g[..., 1]) * gz + g[..., 2], inb
 
 
-def create_render_state(params: VoxelBlockHashParams) -> RenderStateVH:
+def create_render_state(params: VoxelBlockHashParams, grid_params=None) -> RenderStateVH:
+    ce = ee = ep = None
+    if grid_params is not None:
+        gx, gy, gz = grid_params.dims
+        ce = jnp.zeros((gx * gy * gz,), dtype=jnp.int32)
+        ee = jnp.zeros((params.n_entries,), dtype=jnp.int32)
+        ep = jnp.array(0, dtype=jnp.int32)
     return RenderStateVH(
         visible_type=jnp.zeros((params.n_entries,), dtype=jnp.int32),
         visible_ids=jnp.full((params.max_visible_blocks,), -1, dtype=jnp.int32),
         n_visible=jnp.array(0, dtype=jnp.int32),
+        cell_epoch=ce,
+        entry_epoch=ee,
+        epoch=ep,
     )
 
 
@@ -498,7 +517,10 @@ def insert_blocks(
     round-1 allocator's cost). Reference semantics preserved
     (allocateVoxelBlocksList_device): contended buckets keep one winner per
     frame (losers retry next frame — the benign CUDA race), excess chaining
-    via the offset links, new entries marked visible immediately."""
+    via the offset links, new entries marked visible immediately.
+
+    Returns (vol, visible_type, widx) — widx[N] is the hash-entry index each
+    candidate was written to, or E for candidates that did not insert."""
     E = params.n_entries
     N = new_blocks.shape[0]
     pr = probe(vol, new_blocks, params, include_swapped=True)
@@ -573,7 +595,7 @@ def insert_blocks(
             alloc_entries=vol.alloc_entries.at[apos].set(widx, mode="drop"),
             n_alloc_entries=vol.n_alloc_entries + n_blocks_taken,
         )
-    return new_vol, visible_type
+    return new_vol, visible_type, widx
 
 
 def refresh_caches(vol: HashVolume, grid_params) -> HashVolume:
@@ -655,12 +677,24 @@ def check_block_visibility(
 ) -> jnp.ndarray:
     """Project the 8 block corners; visible if any lands in the image
     (reference: checkBlockVisibility / checkPointVisibility; `enlarged` pads
-    the bounds by 1/8 image for the swapping path)."""
+    the bounds by 1/8 image for the swapping path).
+
+    Layout: the [..., 3] input is split into component planes once; the
+    corner loop runs on flat vectors (corner c projects as R·b·f + t + R·c·f
+    — one base transform plus a per-corner constant), so nothing keeps a
+    3-wide minor dim in the lane axis."""
     H, W = img_size
     fx, fy, cx, cy = proj[0], proj[1], proj[2], proj[3]
     factor = block_size * voxel_size
-    base = block_pos.astype(jnp.float32) * factor
-    vis = jnp.zeros(block_pos.shape[:-1], dtype=bool)
+    bx = block_pos[..., 0].astype(jnp.float32) * factor
+    by = block_pos[..., 1].astype(jnp.float32) * factor
+    bz = block_pos[..., 2].astype(jnp.float32) * factor
+    R = M_d[:3, :3]
+    t = M_d[:3, 3]
+    px0 = R[0, 0] * bx + R[0, 1] * by + R[0, 2] * bz + t[0]
+    py0 = R[1, 0] * bx + R[1, 1] * by + R[1, 2] * bz + t[1]
+    pz0 = R[2, 0] * bx + R[2, 1] * by + R[2, 2] * bz + t[2]
+    vis = jnp.zeros(px0.shape, dtype=bool)
     if enlarged:
         x_lo, x_hi = -W / 8.0, W + W / 8.0
         y_lo, y_hi = -H / 8.0, H + H / 8.0
@@ -669,13 +703,12 @@ def check_block_visibility(
     for dx in (0, 1):
         for dy in (0, 1):
             for dz in (0, 1):
-                corner = base + jnp.array([dx, dy, dz], dtype=jnp.float32) * factor
-                pc = jnp.einsum("ij,...j->...i", M_d[:3, :3], corner) + M_d[:3, 3]
-                z = pc[..., 2]
+                co = R @ (jnp.array([dx, dy, dz], dtype=jnp.float32) * factor)
+                z = pz0 + co[2]
                 ok = z >= 1e-10
                 zs = jnp.where(ok, z, 1.0)
-                u = fx * pc[..., 0] / zs + cx
-                v = fy * pc[..., 1] / zs + cy
+                u = fx * (px0 + co[0]) / zs + cx
+                v = fy * (py0 + co[1]) / zs + cy
                 vis |= ok & (u >= x_lo) & (u < x_hi) & (v >= y_lo) & (v < y_hi)
     return vis
 

@@ -51,6 +51,99 @@ def point_to_block(point: jnp.ndarray, block_size: int) -> Tuple[jnp.ndarray, jn
     return block, linear
 
 
+def blocks_on_ray_segment_planes(
+    depth: jnp.ndarray,  # [H, W] metric depth, −1 invalid
+    proj: jnp.ndarray,  # (fx, fy, cx, cy)
+    inv_M: jnp.ndarray,  # [4,4] camera→world
+    mu: float,
+    voxel_size: float,
+    block_size: int,
+    max_steps: int,
+    view_frustum_min: float,
+    view_frustum_max: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Candidate blocks touched by each pixel's ±mu ray-band segment, as
+    COMPONENT PLANES — the layout-optimal variant of blocks_on_ray_segment.
+
+    [..., 3]-shaped arrays put a 3-wide minor dim in the 128-lane axis and
+    run ~40× under peak on TPU; this version keeps every quantity as a flat
+    [N] plane (N = H·W) stacked per DDA step.
+
+    Returns (bx, by, bz, valid), each [max_steps, N] (int32 / bool)."""
+    H, W = depth.shape
+    N = H * W
+    fx, fy, cx, cy = proj[0], proj[1], proj[2], proj[3]
+    one_over_block = 1.0 / (voxel_size * block_size)
+
+    d2 = depth.reshape(-1)
+    valid_px = (d2 > 0.0) & (d2 - mu >= view_frustum_min) & (d2 + mu <= view_frustum_max)
+    d = jnp.where(valid_px, d2, 1.0)
+
+    xs = jnp.tile(jnp.arange(W, dtype=jnp.float32), H)
+    ys = jnp.repeat(jnp.arange(H, dtype=jnp.float32), W)
+    dcx = (xs - cx) / fx
+    dcy = (ys - cy) / fy
+    pcx = dcx * d
+    pcy = dcy * d
+    pcz = d
+    norm = jnp.sqrt(pcx * pcx + pcy * pcy + pcz * pcz)
+    sca_s = 1.0 - mu / norm
+    sca_e = 1.0 + mu / norm
+
+    R = inv_M[:3, :3]
+    t = inv_M[:3, 3]
+
+    def to_blocks(sca):
+        px = pcx * sca
+        py = pcy * sca
+        pz = pcz * sca
+        wx = (R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz + t[0]) * one_over_block
+        wy = (R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz + t[1]) * one_over_block
+        wz = (R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz + t[2]) * one_over_block
+        return wx, wy, wz
+
+    bsx, bsy, bsz = to_blocks(sca_s)
+    bex, bey, bez = to_blocks(sca_e)
+    segx = bex - bsx
+    segy = bey - bsy
+    segz = bez - bsz
+
+    # Exact 3-D DDA over the segment (see blocks_on_ray_segment docstring).
+    def axis_t(blk, seg, bs):
+        safe = jnp.where(jnp.abs(seg) < 1e-9, 1e-9, seg)
+        nxt = blk + (seg > 0).astype(jnp.int32)
+        ta = (nxt.astype(jnp.float32) - bs) / safe
+        return jnp.where(jnp.abs(seg) < 1e-9, 2.0, ta)
+
+    bx = jnp.floor(bsx).astype(jnp.int32)
+    by = jnp.floor(bsy).astype(jnp.int32)
+    bz = jnp.floor(bsz).astype(jnp.int32)
+    tpar = jnp.zeros((N,), jnp.float32)
+    out_x, out_y, out_z, out_v = [], [], [], []
+    sgx = jnp.sign(segx).astype(jnp.int32)
+    sgy = jnp.sign(segy).astype(jnp.int32)
+    sgz = jnp.sign(segz).astype(jnp.int32)
+    for _ in range(max_steps):
+        out_x.append(bx)
+        out_y.append(by)
+        out_z.append(bz)
+        out_v.append(valid_px & (tpar <= 1.0))
+        tx = axis_t(bx, segx, bsx)
+        ty = axis_t(by, segy, bsy)
+        tz = axis_t(bz, segz, bsz)
+        tx = jnp.where(tx <= tpar + 1e-7, 2.0, tx)
+        ty = jnp.where(ty <= tpar + 1e-7, 2.0, ty)
+        tz = jnp.where(tz <= tpar + 1e-7, 2.0, tz)
+        t_next = jnp.minimum(jnp.minimum(tx, ty), tz)
+        bx = bx + jnp.where(tx <= t_next + 1e-9, sgx, 0)
+        by = by + jnp.where(ty <= t_next + 1e-9, sgy, 0)
+        bz = bz + jnp.where(tz <= t_next + 1e-9, sgz, 0)
+        tpar = t_next
+    return (
+        jnp.stack(out_x), jnp.stack(out_y), jnp.stack(out_z), jnp.stack(out_v)
+    )
+
+
 def blocks_on_ray_segment(
     depth: jnp.ndarray,  # [H, W] metric depth, −1 invalid
     proj: jnp.ndarray,  # (fx, fy, cx, cy)

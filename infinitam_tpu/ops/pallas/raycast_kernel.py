@@ -4,24 +4,31 @@ The flagship raycast kernel (SURVEY.md §7 build-order step 4). The CUDA
 reference launches one divergent while-loop thread per pixel
 (genericRaycast_device, ITMVisualisationEngine_CUDA.cu:532-544 →
 DeviceAgnostic/ITMVisualisationEngine.h:92-158 castRay) whose inner reads are
-pointer-chasing hash walks. Neither divergent loops nor random gathers map to
-the TPU (measured ≈10-65 ns per random tap — PERF_NOTES.md), so the design is
+pointer-chasing hash walks, bounded by a per-pixel expected-depth range image
+rasterized from the visible blocks (CreateExpectedDepths). Neither divergent
+loops nor random gathers nor atomic min/max rasters map to the TPU (measured
+≈10-65 ns per random tap / scatter element — PERF_NOTES.md), so the design is
 re-derived for the hardware:
 
 - the image marches in 16×16-pixel TILES (one Pallas grid step per tile);
 - each tile gets a PAGE LIST: the ≤KP voxel blocks its ray pencil can touch,
-  built XLA-side from the dense block→pool grid (pages are rows of a pooled
-  int8 SDF snapshot of the visible blocks, emitted by the integrate kernel,
-  VMEM-resident for the whole kernel);
+  built XLA-side by rasterizing visible-block bboxes into the tile grid,
+  near-first (sorted by camera z);
+- pages stream straight from the HBM-resident voxel block array via
+  DOUBLE-BUFFERED row DMAs: while tile i marches, tile i+1's pages are in
+  flight. No VMEM pool, no pool-capacity cliff — the kernel reads the same
+  [B, 512] packed array the integrate kernel writes;
+- the reference's renderingRangeImage is replaced by EXACT per-ray ranges:
+  each page's voxel AABB is slab-intersected against the tile's rays in-kernel
+  (KP×256 VPU ops — free next to the taps), giving per-ray entry/exit spans.
+  The march starts at the first page entry, ends at the last exit, and when a
+  sample lands outside every page (reads +1 by definition) it JUMPS to the
+  next page entry instead of crawling at the sphere-trace rate — empty space
+  costs one step per gap, not distance/mu steps;
 - a "tap" (sdf at a voxel) is ONE-HOT MATMUL algebra instead of a gather:
     Q = pages[KP,512] @ onehot(linear_idx)[512,256]   (MXU, bf16)
     sdf[r] = Σ_k (page_key[k] == cell_key[r]) · Q[k,r] (VPU)
   — int8 SDF values and one-hots are exact in bfloat16;
-- the march is an adaptive lock-step sphere trace (step = max(sdf·mu/voxel,
-  1 voxel), the reference castRay's rule) over the per-pixel expected depth
-  range [zmin, zmax] (the reference's renderingRangeImage), with a
-  whole-tile early exit once every ray has bracketed a zero crossing and a
-  static bound of `t_march` steps;
 - the hit is refined by one secant step on the bracketing samples plus two
   trilinear-refinement rounds (the reference's castRay:141-150), where the 8
   trilinear corners come from ONE stacked matmul over pre-rolled page copies.
@@ -46,6 +53,8 @@ NRAY = TILE * TILE
 
 _CORNERS = [(dx, dy, dz) for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
 
+_BIG = 3.0e8  # "no page" sentinel for slab mins (f32-safe, < inf to avoid nan)
+
 
 def _cell_key(bx, by, bz, grid_dims, grid_origin):
     """Packed block-grid cell id (must equal the XLA-side flat id); −1 when
@@ -65,17 +74,22 @@ def _cell_key(bx, by, bz, grid_dims, grid_origin):
 
 
 def _raycast_kernel(
-    page_rows_ref,  # scalar-prefetch SMEM [NT·KP] int32 — pool rows (−1 empty)
+    page_rows_ref,  # scalar-prefetch SMEM [NT·KP] int32 — VBA rows (−1 empty)
     page_key_ref,  # scalar-prefetch SMEM [NT·KP] int32 — cell keys (−2 empty)
     #   (flat 1-D: a [1200,48] operand lane-pads in SMEM to 600 KB; two of
     #   them blow the 1 MB SMEM budget — flat costs the true 230 KB each)
     rays_ref,  # VMEM (1, 8, 256) f32 — ox,oy,oz,dx,dy,dz,L,active
-    pool_ref,  # VMEM (NP, 512) int32 — packed voxel rows (sdf byte = top byte)
+    vox_ref,  # ANY/HBM (B, 512) int32 — the live VBA (packed voxels)
     out_ref,  # VMEM (1, 8, 256) f32 — px,py,pz,found,t*,sdf,...
-    pages_i32,  # scratch VMEM (KP, 512) int32 — packed page rows
+    pages_dbuf,  # scratch VMEM (2·KP·8, 512) int32 — DMA double buffer
+    #   (8-row aligned groups; the page's row is selected at unpack time)
+    pages_cur,  # scratch VMEM (KP, 512) int32 — current tile's packed rows
     pages,  # scratch VMEM (KP, 512) bf16 — sdf bytes of the pages
     keys,  # scratch VMEM (KP, 256) int32
+    t_in_s,  # scratch VMEM (KP, 256) f32 — per-page per-ray slab entry
+    t_out_s,  # scratch VMEM (KP, 256) f32 — per-page per-ray slab exit
     p8,  # scratch VMEM (8·KP, 512) bf16 — corner-rolled page copies
+    sems,  # DMA semaphores (2,)
     *,
     kp: int,
     t_march: int,
@@ -86,23 +100,97 @@ def _raycast_kernel(
 ):
     S = block_size
     S2 = S * S
+    gx_d, gy_d, gz_d = grid_dims
+    ox_g, oy_g, oz_g = grid_origin
     ti = pl.program_id(0)
+    nt = pl.num_programs(0)
 
-    # ---- fetch pages from the resident pool + broadcast their keys --------
-    # pool rows are the PACKED int32 voxel lanes (Mosaic only supports
-    # dynamic (1, 512) row loads at 32-bit width — int8 rows fail to prove
-    # sublane alignment); the sdf byte is the top byte, so an arithmetic
-    # shift recovers the signed int8 sdf exactly.
-    def fetch(k, _):
-        row = jnp.maximum(page_rows_ref[ti * kp + k], 0)
-        pages_i32[pl.ds(k, 1), :] = pool_ref[pl.ds(row, 1), :]
-        keys[pl.ds(k, 1), :] = jnp.full(
-            (1, NRAY), page_key_ref[ti * kp + k], jnp.int32
+    # ---- double-buffered page streaming from the HBM voxel array ----------
+    # HBM rows are (8,128)-tiled, so a DMA slice must cover 8 aligned
+    # sublanes: fetch the aligned 8-row group around each page (16 KB) and
+    # select the row in VMEM. All KP copies of a tile accumulate on the
+    # slot's semaphore and are waited in issue order. Tile i+1's copies start
+    # before tile i's march so the fetches ride under the compute.
+    def page_dma(slot, tile, k):
+        row = jnp.maximum(page_rows_ref[tile * kp + k], 0)
+        row8 = pl.multiple_of((row >> 3) << 3, 8)
+        return pltpu.make_async_copy(
+            vox_ref.at[pl.ds(row8, 8), :],
+            pages_dbuf.at[pl.ds((slot * kp + k) * 8, 8), :],
+            sems.at[slot],
         )
-        return 0
 
-    jax.lax.fori_loop(0, kp, fetch, 0, unroll=True)
-    pages[:] = (pages_i32[:] >> 24).astype(jnp.bfloat16)
+    def issue(slot, tile):
+        for k in range(kp):
+            page_dma(slot, tile, k).start()
+
+    slot = jax.lax.rem(ti, 2)
+
+    @pl.when(ti == 0)
+    def _():
+        issue(0, 0)
+
+    @pl.when(ti + 1 < nt)
+    def _():
+        issue(jax.lax.rem(ti + 1, 2), ti + 1)
+
+    for k in range(kp):
+        page_dma(slot, ti, k).wait()
+
+    # ---- unpack pages + broadcast keys + per-page ray slabs ---------------
+    # pages_dbuf rows are the PACKED int32 voxel lanes (Mosaic only supports
+    # dynamic (1, 512) row loads at 32-bit width); the sdf byte is the top
+    # byte, so an arithmetic shift recovers the signed int8 sdf exactly.
+    o_x = rays_ref[0, 0:1, :]
+    o_y = rays_ref[0, 1:2, :]
+    o_z = rays_ref[0, 2:3, :]
+    d_x = rays_ref[0, 3:4, :]
+    d_y = rays_ref[0, 4:5, :]
+    d_z = rays_ref[0, 5:6, :]
+    lray = rays_ref[0, 6:7, :]
+    act0 = rays_ref[0, 7:8, :] > 0.5
+
+    # guarded inverse direction for the slab test (1e10 keeps the products
+    # finite: sign-correct huge values instead of inf·0 = nan at boundaries)
+    def safe_inv(d):
+        ok = jnp.abs(d) > 1e-9
+        return jnp.where(ok, 1.0 / jnp.where(ok, d, 1.0), jnp.where(d >= 0, 1e10, -1e10))
+
+    inv_dx = safe_inv(d_x)
+    inv_dy = safe_inv(d_y)
+    inv_dz = safe_inv(d_z)
+
+    def slab_axis(lo, hi, o, inv_d):
+        ta = (lo - o) * inv_d
+        tb = (hi - o) * inv_d
+        return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
+
+    for k in range(kp):
+        key = page_key_ref[ti * kp + k]
+        row = jnp.maximum(page_rows_ref[ti * kp + k], 0)
+        pages_cur[pl.ds(k, 1), :] = pages_dbuf[
+            pl.ds((slot * kp + k) * 8 + jax.lax.rem(row, 8), 1), :
+        ]
+        keys[pl.ds(k, 1), :] = jnp.full((1, NRAY), key, jnp.int32)
+        # decode the cell key → block coords → voxel AABB aligned with the
+        # tap's nearest-voxel rounding (floor(p+0.5)): [8b−0.5, 8b+7.5)
+        kc = jnp.maximum(key, 0)
+        bz = kc % gz_d + oz_g
+        by = (kc // gz_d) % gy_d + oy_g
+        bx = kc // (gz_d * gy_d) + ox_g
+        lo_x = (bx * S).astype(jnp.float32) - 0.5
+        lo_y = (by * S).astype(jnp.float32) - 0.5
+        lo_z = (bz * S).astype(jnp.float32) - 0.5
+        t0x, t1x = slab_axis(lo_x, lo_x + S, o_x, inv_dx)
+        t0y, t1y = slab_axis(lo_y, lo_y + S, o_y, inv_dy)
+        t0z, t1z = slab_axis(lo_z, lo_z + S, o_z, inv_dz)
+        t_in = jnp.maximum(jnp.maximum(t0x, t0y), jnp.maximum(t0z, 0.0))
+        t_out = jnp.minimum(jnp.minimum(t1x, t1y), jnp.minimum(t1z, lray))
+        hit = (key >= 0) & (t_in <= t_out)
+        t_in_s[pl.ds(k, 1), :] = jnp.where(hit, t_in, _BIG)
+        t_out_s[pl.ds(k, 1), :] = jnp.where(hit, t_out, -_BIG)
+
+    pages[:] = (pages_cur[:] >> 24).astype(jnp.bfloat16)
 
     # corner-rolled copies for the trilinear round (roll wraps inside the
     # block; wrapped lanes are masked to the base corner below). Mosaic only
@@ -114,17 +202,14 @@ def _raycast_kernel(
         else:
             # left-roll by `off` == right-roll by S³ − off (pltpu.roll
             # requires a non-negative shift)
-            rolled = pltpu.roll(pages_i32[:], S * S2 - off, 1)
+            rolled = pltpu.roll(pages_cur[:], S * S2 - off, 1)
             p8[pl.ds(c * kp, kp), :] = (rolled >> 24).astype(jnp.bfloat16)
 
-    o_x = rays_ref[0, 0:1, :]
-    o_y = rays_ref[0, 1:2, :]
-    o_z = rays_ref[0, 2:3, :]
-    d_x = rays_ref[0, 3:4, :]
-    d_y = rays_ref[0, 4:5, :]
-    d_z = rays_ref[0, 5:6, :]
-    lray = rays_ref[0, 6:7, :]
-    act0 = rays_ref[0, 7:8, :] > 0.5
+    # exact per-ray march range from the page slabs (replaces the reference's
+    # renderingRangeImage): start at the first page entry, end at the last exit
+    t_first = jnp.min(t_in_s[:], axis=0, keepdims=True)  # [1, 256]
+    t_last = jnp.max(t_out_s[:], axis=0, keepdims=True)
+    act = act0 & (t_first < _BIG * 0.5)
 
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (512, NRAY), 0)
 
@@ -139,8 +224,8 @@ def _raycast_kernel(
         return _cell_key(bx, by, bz, grid_dims, grid_origin), lin
 
     def tap(px, py, pz):
-        """Uninterpolated sdf at float voxel coords — [1,256] f32 in [−1,1];
-        +1 where no page covers the sample (empty space)."""
+        """Uninterpolated sdf at float voxel coords — [1,256] f32 in [−1,1]
+        plus the matched mask; +1 where no page covers the sample."""
         cell, lin = cellkey_and_lin(px, py, pz)
         ohl = (iota_l == lin).astype(jnp.bfloat16)  # [512, 256]
         # explicit DEFAULT precision: immune to a global
@@ -154,19 +239,19 @@ def _raycast_kernel(
         ohk = keys[:] == cell  # [KP, 256]
         val = jnp.sum(jnp.where(ohk, q, 0.0), axis=0, keepdims=True)
         matched = jnp.sum(ohk.astype(jnp.float32), axis=0, keepdims=True) > 0.0
-        return jnp.where(matched, val * (1.0 / 128.0), 1.0)
+        return jnp.where(matched, val * (1.0 / 128.0), 1.0), matched
 
-    # ---- march: adaptive sphere-trace with whole-tile early exit ----------
-    # step = max(sdf · mu/voxelSize, 1 voxel) like the reference castRay
-    # (a fixed-count sampler can skip the ±mu band at grazing incidence);
-    # t_march bounds the step count, crawling stragglers give up at the bound
+    # ---- march: adaptive sphere-trace + page-gap jumps, whole-tile early
+    # exit. step = max(sdf · mu/voxelSize, 1 voxel) like the reference castRay
+    # inside pages; outside every page the sample provably reads +1, so jump
+    # straight to the next page entry (all skipped samples would read +1 too).
     # found is carried as f32 0/1, not bool: Mosaic fails to legalize i1
     # vector carries at the scf.while yield ("failed to legalize scf.yield")
     def march_body(state):
         j, t_cur, sdf_prev, t_prev, foundf, t_star, sdf_lo, sdf_hi = state
         found = foundf > 0.5
-        sdf = tap(o_x + d_x * t_cur, o_y + d_y * t_cur, o_z + d_z * t_cur)
-        cross = (~found) & act0 & (sdf <= 0.0)
+        sdf, matched = tap(o_x + d_x * t_cur, o_y + d_y * t_cur, o_z + d_z * t_cur)
+        cross = (~found) & act & (sdf <= 0.0)
         # secant between the bracketing samples (sdf_prev > 0 ≥ sdf)
         denom = sdf_prev - sdf
         frac = jnp.where(jnp.abs(denom) > 1e-12, sdf_prev / denom, 0.0)
@@ -175,9 +260,17 @@ def _raycast_kernel(
         sdf_lo = jnp.where(cross, sdf_prev, sdf_lo)
         sdf_hi = jnp.where(cross, sdf, sdf_hi)
         found = found | cross
-        advance = (~found) & act0 & (t_cur <= lray)
+        advance = (~found) & act & (t_cur <= t_last)
         step = jnp.maximum(sdf * step_scale, 1.0)
-        t_next = jnp.where(advance, t_cur + step, t_cur)
+        # next page entry strictly ahead of the current sample (STRICT, no
+        # epsilon: an entry epsilon-ahead is a page the jump must not skip;
+        # progress is guaranteed by the t_cur+0.5 floor below)
+        ahead = t_in_s[:] > t_cur
+        next_in = jnp.min(jnp.where(ahead, t_in_s[:], _BIG), axis=0, keepdims=True)
+        t_tgt = jnp.where(
+            matched, t_cur + step, jnp.maximum(next_in + 0.25, t_cur + 0.5)
+        )
+        t_next = jnp.where(advance, t_tgt, t_cur)
         return (
             j + 1, t_next, sdf, t_cur, jnp.where(found, one, zero),
             t_star, sdf_lo, sdf_hi,
@@ -185,7 +278,7 @@ def _raycast_kernel(
 
     def march_cond(state):
         j, t_cur, _sdf, _t, foundf, *_ = state
-        live = act0 & (foundf <= 0.5) & (t_cur <= lray)
+        live = act & (foundf <= 0.5) & (t_cur <= t_last)
         return (j < t_march) & jnp.any(live)
 
     # init carries DERIVED FROM TRACED DATA (o_x * 0), not jnp constants: a
@@ -194,8 +287,9 @@ def _raycast_kernel(
     # to replicated — the "Invalid relayout ... {*,*},(8,128)" compile crash
     zero = o_x * 0.0
     one = zero + 1.0
+    t_start = jnp.where(act, t_first, lray) + 0.05
     init = (
-        jnp.int32(0), zero, one, zero, zero, zero, one, -one
+        jnp.int32(0), t_start, one, t_start, zero, zero, one, -one
     )
     _j, _tc, sdf_last, _t, foundf, t_star, _lo, _hi = jax.lax.while_loop(
         march_cond, march_body, init
@@ -266,10 +360,10 @@ def _raycast_kernel(
 
 
 def raycast_tiles(
-    page_rows: jnp.ndarray,  # [NT, KP] int32
+    page_rows: jnp.ndarray,  # [NT, KP] int32 — VBA row per page (−1 empty)
     page_key: jnp.ndarray,  # [NT, KP] int32
     rays: jnp.ndarray,  # [NT, 8, 256] f32
-    pool_packed: jnp.ndarray,  # [NP, 512] int32 packed voxels (sdf = top byte)
+    vox: jnp.ndarray,  # [B, 512] int32 — the live packed VBA (stays in HBM)
     *,
     t_march: int,
     step_scale: float,
@@ -280,7 +374,7 @@ def raycast_tiles(
 ) -> jnp.ndarray:
     """Run the tile raycast kernel → [NT, 8, 256] f32 output planes."""
     nt, kp = page_rows.shape
-    np_, s3 = pool_packed.shape
+    nb, s3 = vox.shape
     kernel = functools.partial(
         _raycast_kernel,
         kp=kp,
@@ -295,14 +389,18 @@ def raycast_tiles(
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((1, 8, NRAY), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((np_, s3), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # VBA stays in HBM; row DMAs
         ],
         out_specs=pl.BlockSpec((1, 8, NRAY), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM((2 * kp * 8, s3), jnp.int32),
             pltpu.VMEM((kp, s3), jnp.int32),
             pltpu.VMEM((kp, s3), jnp.bfloat16),
             pltpu.VMEM((kp, NRAY), jnp.int32),
+            pltpu.VMEM((kp, NRAY), jnp.float32),
+            pltpu.VMEM((kp, NRAY), jnp.float32),
             pltpu.VMEM((8 * kp, s3), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -310,7 +408,7 @@ def raycast_tiles(
         out_shape=jax.ShapeDtypeStruct((nt, 8, NRAY), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(page_rows.reshape(-1), page_key.reshape(-1), rays, pool_packed)
+    )(page_rows.reshape(-1), page_key.reshape(-1), rays, vox)
 
 
 # --------------------------------------------------------------------------
@@ -337,7 +435,8 @@ def untileize(rows: jnp.ndarray, img_size: Tuple[int, int], tile: int = TILE) ->
 
 
 def build_page_lists(
-    block_pos: jnp.ndarray,  # [NP, 3] int32 block coords of the pool rows
+    block_pos: jnp.ndarray,  # [NP, 3] int32 block coords of the candidates
+    rows: jnp.ndarray,  # [NP] int32 VBA row of each candidate
     valid: jnp.ndarray,  # [NP] bool
     pose: jnp.ndarray,  # [4,4] world→camera
     proj: jnp.ndarray,  # (fx, fy, cx, cy)
@@ -349,7 +448,7 @@ def build_page_lists(
     grid_origin: Tuple[int, int, int] = (-32, -32, 0),
     tb: int = 6,
     z_far: float = 8.0,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Exact per-tile page lists by rasterizing the visible blocks' projected
     bboxes into the 16×16-pixel tile grid (the page-list analogue of the
     reference's ProjectSingleBlock/CreateRenderingBlocks rasterization,
@@ -361,8 +460,8 @@ def build_page_lists(
     usually never reach anyway. Block footprints are capped at `tb`×`tb` tiles
     (blocks closer than ~2 block-lengths may lose lateral tiles).
 
-    Returns (page_rows [NT, KP] pool-row or −1, page_key [NT, KP] cell or −2).
-    """
+    Returns (page_rows [NT, KP] VBA row or −1, page_key [NT, KP] cell or −2,
+    n_overflow — count of page-tile pairs dropped by the KP cap)."""
     H, W = img_size
     th, tw = H // TILE, W // TILE
     nt = th * tw
@@ -372,7 +471,7 @@ def build_page_lists(
     fx, fy, cx, cy = proj[0], proj[1], proj[2], proj[3]
     factor = block_size * voxel_size
 
-    # cell keys of the pool rows (−2 invalid)
+    # cell keys of the candidate blocks (−2 invalid)
     g = block_pos - jnp.array([ox, oy, oz], dtype=jnp.int32)
     inb = (
         valid
@@ -382,45 +481,82 @@ def build_page_lists(
     )
     cell = (g[:, 0] * gy_d + g[:, 1]) * gz_d + g[:, 2]
 
-    # project the 8 corners → pixel bbox + near z
-    bposf = block_pos.astype(jnp.float32)
-    us, vs, zs = [], [], []
+    # project the 8 corners → pixel bbox + near z. LAYOUT-CRITICAL: all math
+    # runs on flat [NP] vectors (lane dim = NP); [NP, 3]/[NP, 8] shapes pad
+    # their tiny minor dim to 128 lanes and run 20-40× slower (measured
+    # 1.4 ms for 8 einsums on [8192, 3] — the whole function's budget).
+    # Corner c projects as R·(b+c)·f + t = (R·b·f + t) + R·c·f: one block
+    # transform plus a per-corner CONSTANT 3-vector.
+    bx = block_pos[:, 0].astype(jnp.float32) * factor
+    by = block_pos[:, 1].astype(jnp.float32) * factor
+    bz = block_pos[:, 2].astype(jnp.float32) * factor
+    R = pose[:3, :3]
+    t = pose[:3, 3]
+    px0 = R[0, 0] * bx + R[0, 1] * by + R[0, 2] * bz + t[0]
+    py0 = R[1, 0] * bx + R[1, 1] * by + R[1, 2] * bz + t[1]
+    pz0 = R[2, 0] * bx + R[2, 1] * by + R[2, 2] * bz + t[2]
+    umin = jnp.full_like(px0, 1e9)
+    umax = jnp.full_like(px0, -1e9)
+    vmin = jnp.full_like(px0, 1e9)
+    vmax = jnp.full_like(px0, -1e9)
+    zmin_c = jnp.full_like(px0, 1e9)
+    zmax_c = jnp.full_like(px0, -1e9)
     for dx in (0, 1):
         for dy in (0, 1):
             for dz in (0, 1):
-                corner = (bposf + jnp.array([dx, dy, dz], jnp.float32)) * factor
-                pc = jnp.einsum("ij,nj->ni", pose[:3, :3], corner) + pose[:3, 3]
-                z = pc[:, 2]
+                co = R @ (jnp.array([dx, dy, dz], jnp.float32) * factor)
+                pcx = px0 + co[0]
+                pcy = py0 + co[1]
+                z = pz0 + co[2]
                 ok = z > 1e-6
                 zsafe = jnp.where(ok, z, 1.0)
-                us.append(jnp.where(ok, fx * pc[:, 0] / zsafe + cx, jnp.where(z <= 0, -1e9, 1e9)))
-                vs.append(jnp.where(ok, fy * pc[:, 1] / zsafe + cy, jnp.where(z <= 0, -1e9, 1e9)))
-                zs.append(z)
-    U = jnp.stack(us, -1)
-    V = jnp.stack(vs, -1)
-    Z = jnp.stack(zs, -1)
+                u = jnp.where(ok, fx * pcx / zsafe + cx, jnp.where(z <= 0, -1e9, 1e9))
+                v = jnp.where(ok, fy * pcy / zsafe + cy, jnp.where(z <= 0, -1e9, 1e9))
+                umin = jnp.minimum(umin, u)
+                umax = jnp.maximum(umax, u)
+                vmin = jnp.minimum(vmin, v)
+                vmax = jnp.maximum(vmax, v)
+                zmin_c = jnp.minimum(zmin_c, z)
+                zmax_c = jnp.maximum(zmax_c, z)
     # a block partly behind the camera floods laterally; cover the full tile
     # rows/cols its visible corners span (rare: only very-near blocks)
-    t0u = jnp.clip(jnp.floor(jnp.min(U, -1) / TILE).astype(jnp.int32), 0, tw - 1)
-    t1u = jnp.clip(jnp.floor(jnp.max(U, -1) / TILE).astype(jnp.int32), 0, tw - 1)
-    t0v = jnp.clip(jnp.floor(jnp.min(V, -1) / TILE).astype(jnp.int32), 0, th - 1)
-    t1v = jnp.clip(jnp.floor(jnp.max(V, -1) / TILE).astype(jnp.int32), 0, th - 1)
-    offscreen = (jnp.max(U, -1) < 0) | (jnp.min(U, -1) >= W) | (jnp.max(V, -1) < 0) | (jnp.min(V, -1) >= H)
-    znear = jnp.maximum(jnp.min(Z, -1), 1e-3)
-    live = inb & ~offscreen & jnp.any(Z > 0, -1)
+    t0u = jnp.clip(jnp.floor(umin / TILE).astype(jnp.int32), 0, tw - 1)
+    t1u = jnp.clip(jnp.floor(umax / TILE).astype(jnp.int32), 0, tw - 1)
+    t0v = jnp.clip(jnp.floor(vmin / TILE).astype(jnp.int32), 0, th - 1)
+    t1v = jnp.clip(jnp.floor(vmax / TILE).astype(jnp.int32), 0, th - 1)
+    offscreen = (umax < 0) | (umin >= W) | (vmax < 0) | (vmin >= H)
+    znear = jnp.maximum(zmin_c, 1e-3)
+    live = inb & ~offscreen & (zmax_c > 0)
 
-    # rasterize: up to tb×tb (tile-unit) footprint per block
-    dus = jnp.arange(tb)
-    tu = t0u[:, None, None] + dus[None, :, None]  # [NP, tb, 1]
-    tv = t0v[:, None, None] + dus[None, None, :]  # [NP, 1, tb]
-    in_box = (tu <= t1u[:, None, None]) & (tv <= t1v[:, None, None]) & live[:, None, None]
-    tile_id = jnp.where(in_box, tv * tw + tu, nt)  # [NP, tb, tb]
-
-    # near-first slot assignment: sort (tile, z) pairs, rank within tile
+    # rasterize: up to tb×tb (tile-unit) footprint per block, laid out
+    # [tb², NP] (lane dim NP — a [NP, tb, tb] layout pads tb to 128 lanes)
     zq = jnp.clip(znear * (16383.0 / z_far), 0, 16383).astype(jnp.int32)
-    skey = (tile_id << 14) | zq[:, None, None]  # nt<2¹⁷ ⇒ fits int32 (nt·2¹⁴)
+    du = (jnp.arange(tb * tb, dtype=jnp.int32) // tb)[:, None]  # [tb², 1]
+    dv = (jnp.arange(tb * tb, dtype=jnp.int32) % tb)[:, None]
+    tu = t0u[None, :] + du  # [tb², NP]
+    tv = t0v[None, :] + dv
+    in_box = (tu <= t1u[None, :]) & (tv <= t1v[None, :]) & live[None, :]
+    tile_id = jnp.where(in_box, tv * tw + tu, nt)
+
+    # near-first slot assignment: sort (tile, z) pairs, rank within tile.
+    # SORT-SIZE-CRITICAL: sorting the raw NP·tb² pair array (~300 k, mostly
+    # inactive) measured ~9 ms on v5e — compact the ACTIVE pairs (Σ over
+    # blocks of covered tiles, a few k) to a static cap first; the sort,
+    # scan, and scatters then run on ~16 k elements. Pairs beyond the cap are
+    # dropped and counted in n_overflow.
+    skey = (tile_id << 14) | zq[None, :]  # nt<2¹⁷ ⇒ fits int32 (nt·2¹⁴)
     skey = jnp.where(in_box, skey, jnp.int32(0x7FFFFFFF)).reshape(-1)
-    rowv = jnp.broadcast_to(jnp.arange(NP, dtype=jnp.int32)[:, None, None], tile_id.shape).reshape(-1)
+    rowv = jnp.broadcast_to(
+        jnp.arange(NP, dtype=jnp.int32)[None, :], tile_id.shape
+    ).reshape(-1)
+    n_raw = skey.shape[0]
+    cap = min(n_raw, 16384)
+    n_pairs = jnp.sum(in_box).astype(jnp.int32)
+    sel = jnp.nonzero(in_box.reshape(-1), size=cap, fill_value=n_raw)[0]
+    sel_c = jnp.clip(sel, 0, n_raw - 1)
+    skey = jnp.where(sel < n_raw, skey[sel_c], jnp.int32(0x7FFFFFFF))
+    rowv = rowv[sel_c]
+
     order = jnp.argsort(skey)
     skey_s = skey[order]
     rows_s = rowv[order]
@@ -431,13 +567,18 @@ def build_page_lists(
     seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(new_seg, iarr, 0))
     rank = iarr - seg_start
     dst_ok = (tile_s < nt) & (rank < kp)
+    n_overflow = (
+        jnp.sum((tile_s < nt) & (rank >= kp)).astype(jnp.int32)
+        + jnp.maximum(n_pairs - cap, 0)
+    )
     flat_dst = jnp.where(dst_ok, tile_s * kp + rank, nt * kp)
 
+    vba_rows = rows[rows_s]
     page_rows = jnp.full((nt * kp + 1,), -1, jnp.int32).at[flat_dst].set(
-        rows_s, mode="drop"
+        vba_rows, mode="drop"
     )[: nt * kp].reshape(nt, kp)
     cell_s = cell[rows_s]
     page_key = jnp.full((nt * kp + 1,), -2, jnp.int32).at[flat_dst].set(
         cell_s, mode="drop"
     )[: nt * kp].reshape(nt, kp)
-    return page_rows, page_key
+    return page_rows, page_key, n_overflow

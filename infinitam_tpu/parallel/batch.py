@@ -40,7 +40,7 @@ def batched_state_hash(settings: Settings, img_size: Tuple[int, int], batch: int
         vol = hv.create_hash(
             settings.hashing, with_color=settings.use_color, grid_params=settings.block_grid
         )
-        rs = hv.create_render_state(settings.hashing)
+        rs = hv.create_render_state(settings.hashing, grid_params=settings.block_grid)
         st = create_tracking_state(img_size)
         return vol, rs, st
 

@@ -185,8 +185,8 @@ def test_incremental_caches_match_rebuild():
             rng.integers(-8, 12, size=(16, 3)), dtype=jnp.int32
         )
         valid = jnp.asarray(rng.random(16) < 0.8)
-        vol, vt = hv.insert_blocks(vol, vt, blocks, valid, hp_, grid_params=gp)
-        vol, vt = hv.insert_blocks(vol, vt, blocks, valid, hp_, grid_params=gp)
+        vol, vt, _ = hv.insert_blocks(vol, vt, blocks, valid, hp_, grid_params=gp)
+        vol, vt, _ = hv.insert_blocks(vol, vt, blocks, valid, hp_, grid_params=gp)
 
     def check(v):
         ref = hv.refresh_caches(v, gp)

@@ -1,6 +1,10 @@
 """Per-phase TPU timing of the hash-pipeline frame step (dev tool)."""
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

@@ -1,11 +1,21 @@
 """Benchmark: fused+tracked 640×480 frames/s/chip on a Teddy-like replay.
 
-Runs the flagship voxel-block-hash pipeline at the reference's default
-operating point (640×480 depth, 5-level ICP pyramid; reference:
-ITMLibSettings.cpp:10) over a synthetic Teddy-like sequence (the reference
-repo ships only Teddy's calibration, not its frames — SURVEY.md §6), on the
-real TPU. Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N/100}
+Runs the flagship voxel-block-hash pipeline at the REFERENCE default
+operating point — voxel 5 mm, mu 2 cm, 640×480, 5-level ICP pyramid
+(reference: ITMLibSettings.cpp:10) — over a synthetic Teddy-like sequence
+(the reference repo ships only Teddy's calibration, not its frames —
+SURVEY.md §6), on the real TPU. A second config at voxel 1 cm / mu 4 cm
+(same mu/voxel ratio, the r1-r3 operating point) is reported alongside.
+
+The replay runs as ONE on-device program (lax.scan over the frame
+recursion, hash_pipeline.process_sequence_hash): per-frame math and the
+sequential track→fuse→raycast dependency are identical to frame-at-a-time
+dispatch, but the host submits once per sequence — the production shape for
+both replay and a device-fed live pipeline. (The axon tunnel degrades to
+~3.6 ms per dispatch after any D2H transfer — PERF_NOTES.md.)
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N/100, ...}
 vs_baseline is against BASELINE.json's ≥100 fps/chip target.
 """
 
@@ -20,98 +30,120 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/itpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 from infinitam_tpu.calib import default_calib  # noqa: E402
 from infinitam_tpu.config import (  # noqa: E402
+    BlockGridParams,
     SceneParams,
     Settings,
     TrackingParams,
     VoxelBlockHashParams,
 )
 from infinitam_tpu.engine import hash_pipeline as hp  # noqa: E402
-from infinitam_tpu.engine.view_builder import View  # noqa: E402
 from infinitam_tpu.io import synth  # noqa: E402
 from infinitam_tpu.utils import se3  # noqa: E402
 
+IMG = (480, 640)
+N_FRAMES = 30
+N_WARM = 2
 
-def main():
-    img = (480, 640)
-    # Teddy-scale operating point on the synthetic scene: the scene spans
-    # ~3 m; voxel 1 cm / mu 4 cm keeps the same mu/voxel ratio (4) as the
-    # reference default (5 mm / 2 cm) at a volume the synthetic scene fills.
-    settings = Settings(
-        scene=SceneParams(voxel_size=0.01, mu=0.04, view_frustum_min=0.35, view_frustum_max=3.0),
-        hashing=VoxelBlockHashParams(),  # full reference capacities
-        tracking=TrackingParams(),  # 5-level pyramid, reference iteration counts
+
+def reference_settings() -> Settings:
+    """The reference's default operating point (ITMLibSettings.cpp:10):
+    voxel 5 mm, mu 2 cm, frustum 0.35-3 m. Capacity notes: 4 cm blocks →
+    the 64³ working grid would cover only ±1.28 m laterally, so the grid
+    widens to 96×96×80 (±1.92 m × 3.2 m — the full frustum); visibility
+    runs ~4× the 1 cm block count, so the render/fuse windows double."""
+    return Settings(
+        scene=SceneParams(voxel_size=0.005, mu=0.02, view_frustum_min=0.35,
+                          view_frustum_max=3.0),
+        hashing=VoxelBlockHashParams(),
+        tracking=TrackingParams(),
+        block_grid=BlockGridParams(dims=(96, 96, 80), origin=(-48, -48, 0)),
+        alloc_subsample=3,  # 4 cm blocks span ≥7 px at 3 m → stride ≤3 taps each
+        max_fused_blocks=16384,
+        max_render_blocks=16384,
+        raycast_page_blocks=8192,
+        raycast_pages_per_tile=64,
     )
-    calib = default_calib(img[1], img[0])
+
+
+def teddy_1cm_settings() -> Settings:
+    """The r1-r3 operating point: voxel 1 cm / mu 4 cm (same mu/voxel ratio
+    as the reference default at a volume the synthetic scene fills)."""
+    return Settings(
+        scene=SceneParams(voxel_size=0.01, mu=0.04, view_frustum_min=0.35,
+                          view_frustum_max=3.0),
+        hashing=VoxelBlockHashParams(),
+        tracking=TrackingParams(),
+    )
+
+
+def run_config(settings: Settings):
+    calib = default_calib(IMG[1], IMG[0])
     proj = jnp.asarray(calib.intrinsics_d.vector)
+    src = synth.SyntheticSource(calib, n_frames=N_FRAMES, img_size=IMG)
+    frames = [src.get_images() for _ in range(N_FRAMES)]
+    depths = jnp.asarray(np.stack([np.asarray(d) for d, _r, _g in frames]))
 
-    n_frames = 30
-    src = synth.SyntheticSource(calib, n_frames=n_frames, img_size=img)
-    frames = [src.get_images() for _ in range(n_frames)]
+    vol, rs, state = hp.create_engine_state(settings, IMG)
 
-    vol, rs, state = hp.create_engine_state(settings, img)
-
-    # warmup: compile + first two frames
-    for depth, _rgb, _gt in frames[:2]:
-        vol, rs, state, diag = hp.process_frame_hash(
-            vol, rs, state, View(depth=depth), proj, settings
-        )
+    # warmup: compile both programs + fuse the first frames
+    vol, rs, state, _poses, _diags = hp.process_sequence_hash(
+        vol, rs, state, depths[:N_WARM], proj, settings
+    )
     jax.block_until_ready(state.pose)
 
-    est_poses = [state.pose]  # device arrays; converted only after the clock stops
     t0 = time.perf_counter()
-    for depth, _rgb, _gt in frames[2:]:
-        vol, rs, state, diag = hp.process_frame_hash(
-            vol, rs, state, View(depth=depth), proj, settings
-        )
-        est_poses.append(state.pose)
-    jax.block_until_ready(state.pose)
+    vol, rs, state, poses, diags = hp.process_sequence_hash(
+        vol, rs, state, depths[N_WARM:], proj, settings
+    )
+    jax.block_until_ready(poses)
     dt = time.perf_counter() - t0
-    fps = (n_frames - 2) / dt
+    fps = (N_FRAMES - N_WARM) / dt
 
     # Accuracy gate: full-trajectory ATE-RMSE vs ground truth at the 1 cm bar
     # (BASELINE.md: "ATE within 1 cm of reference trajectory"; the synthetic
     # sequence's exact ground truth stands in for the reference trajectory —
     # the reference repo ships no Teddy frames to replay).
-    import numpy as np
-
+    poses_np = np.asarray(poses)
     errs = []
-    for est, (_d, _r, gt) in zip(est_poses, frames[1:]):
-        c_est = np.asarray(se3.invert(est))[:3, 3]
+    for i, (_d, _r, gt) in enumerate(frames[N_WARM:]):
+        c_est = np.linalg.inv(poses_np[i])[:3, 3]
         c_gt = np.asarray(se3.invert(jnp.asarray(gt)))[:3, 3]
         errs.append(np.sum((c_est - c_gt) ** 2))
     ate_rmse = float(np.sqrt(np.mean(errs)))
 
-    # silent-cap hygiene (SURVEY §5): report the graceful-degradation counters
-    # of the LAST frame on stderr (stdout stays the single JSON line)
-    print(
-        "diag(last frame): "
-        + " ".join(
-            f"{k}={int(getattr(diag, k))}"
-            for k in (
-                "n_visible",
-                "n_alloc_overflow",
-                "n_render_overflow",
-                "n_pool_overflow",
-                "n_too_big_blocks",
-                "n_window_clipped",
-            )
-        ),
-        file=sys.stderr,
+    last = jax.tree.map(lambda a: np.asarray(a)[-1], diags)
+    diag_str = " ".join(
+        f"{k}={int(getattr(last, k))}"
+        for k in (
+            "n_visible", "n_alloc_overflow", "n_render_overflow",
+            "n_pool_overflow", "n_too_big_blocks", "n_window_clipped",
+        )
     )
+    return fps, ate_rmse, diag_str
 
-    diverged = not (ate_rmse < 0.01)
+
+def main():
+    fps_ref, ate_ref, diag_ref = run_config(reference_settings())
+    print(f"diag(5mm, last frame): {diag_ref}", file=sys.stderr)
+    fps_1cm, ate_1cm, diag_1cm = run_config(teddy_1cm_settings())
+    print(f"diag(1cm, last frame): {diag_1cm}", file=sys.stderr)
+
+    diverged = not (ate_ref < 0.01)
     print(
         json.dumps(
             {
-                "metric": "fused+tracked 640x480 frames/s/chip"
+                "metric": "fused+tracked 640x480 frames/s/chip @ reference 5mm/2cm"
                 + (" (ATE>1cm: FAILED)" if diverged else ""),
-                "value": 0.0 if diverged else round(fps, 2),
+                "value": 0.0 if diverged else round(fps_ref, 2),
                 "unit": "frames/s",
-                "vs_baseline": 0.0 if diverged else round(fps / 100.0, 3),
-                "ate_rmse_m": round(ate_rmse, 5),
+                "vs_baseline": 0.0 if diverged else round(fps_ref / 100.0, 3),
+                "ate_rmse_m": round(ate_ref, 5),
+                "fps_1cm_voxel": round(fps_1cm, 2),
+                "ate_rmse_1cm_m": round(ate_1cm, 5),
             }
         )
     )

@@ -829,15 +829,8 @@ def raycast_hash_pallas(
     bpos = vol.entry_pos[ids_c]
     valid = (ids >= 0) & (ptr >= 0)
 
-    # --- rays over the full frustum (the kernel tightens per-ray from the
-    # page slabs) + per-tile page lists ------------------------------------
+    # --- per-tile page lists; rays are generated in-kernel -----------------
     inv_M = se3.invert(pose)
-    zmin = jnp.full(img_size, sp.view_frustum_min, jnp.float32)
-    zmax = jnp.full(img_size, sp.view_frustum_max, jnp.float32)
-    pt_start, ray_dir, len_start, len_end = rc.pixel_rays(
-        inv_M, proj, img_size, 1.0 / sp.voxel_size, zmin, zmax
-    )
-    march_len = jnp.maximum(len_end - len_start, 0.0)
     page_rows, page_key, _n_overflow = rk.build_page_lists(
         bpos, jnp.where(valid, ptr, -1), valid, pose, proj, img_size,
         sp.voxel_size,
@@ -846,19 +839,15 @@ def raycast_hash_pallas(
         grid_dims=gp.dims, grid_origin=gp.origin,
         z_far=sp.view_frustum_max * 2.0,
     )
-    active = (march_len > 1e-3).astype(jnp.float32)
-    planes = [
-        pt_start[..., 0], pt_start[..., 1], pt_start[..., 2],
-        ray_dir[..., 0], ray_dir[..., 1], ray_dir[..., 2],
-        march_len, active,
-    ]
-    rays = jnp.stack([rk.tileize(p) for p in planes], axis=1)  # [NT, 8, 256]
-
+    cam = rk.make_cam_scalars(
+        inv_M, proj, sp.view_frustum_min, sp.view_frustum_max, sp.voxel_size
+    )
     out = rk.raycast_tiles(
-        page_rows, page_key, rays, vol.vox,
+        page_rows, page_key, cam, vol.vox,
         t_march=settings.raycast_t_march,
         step_scale=sp.mu / sp.voxel_size,
         grid_dims=gp.dims, grid_origin=gp.origin,
+        tiles_w=W // rk.TILE,
         block_size=hp.block_size,
         interpret=interpret,
     )
@@ -934,6 +923,38 @@ def raycast_hash(
     )
 
 
+@partial(jax.jit, static_argnames=("settings", "img_size"))
+def find_visible_blocks(
+    vol: HashVolume,
+    pose: jnp.ndarray,
+    proj: jnp.ndarray,
+    img_size: Tuple[int, int],
+    settings: Settings,
+) -> RenderStateVH:
+    """Visible-entry list for an ARBITRARY camera (reference:
+    IITMVisualisationEngine::FindVisibleBlocks, used by the freeview render
+    path of ITMMainEngine::GetImage, ITMMainEngine.cpp:176-182): projection
+    check over every resident entry → compacted list. Off the per-frame hot
+    path (the live list comes from allocate_scene_from_depth); this scans
+    all E entries, which is fine at render cadence."""
+    hp = settings.hashing
+    E = hp.n_entries
+    resident = vol.entry_ptr >= 0
+    vis = hv.check_block_visibility(
+        vol.entry_pos, pose, proj, img_size,
+        settings.scene.voxel_size, hp.block_size,
+    )
+    mask = resident & vis
+    ids = jnp.nonzero(mask, size=hp.max_visible_blocks, fill_value=-1)[0].astype(
+        jnp.int32
+    )
+    return RenderStateVH(
+        visible_type=jnp.zeros((E,), jnp.int32),
+        visible_ids=ids,
+        n_visible=jnp.sum(mask).astype(jnp.int32),
+    )
+
+
 def prepare_tracking_maps(
     vol: HashVolume,
     render_state: RenderStateVH,
@@ -973,25 +994,27 @@ def create_point_cloud(
     return locations, colours
 
 
-@partial(jax.jit, static_argnames=("settings", "fusion_active"))
-def process_frame_hash(
+def _track_fuse_impl(
     vol: HashVolume,
     render_state: RenderStateVH,
     state: TrackingState,
     view: View,
     proj: jnp.ndarray,
     settings: Settings,
-    fusion_active: bool = True,
-    proj_rgb: jnp.ndarray | None = None,
-    rgb_to_depth: jnp.ndarray | None = None,
-    external_pose: jnp.ndarray | None = None,
-) -> Tuple[HashVolume, RenderStateVH, TrackingState, FrameDiagnostics]:
-    """One full frame on the hash volume: track → allocate+fuse → raycast.
+    fusion_active: bool,
+    proj_rgb: jnp.ndarray | None,
+    rgb_to_depth: jnp.ndarray | None,
+    external_pose: jnp.ndarray | None,
+    swap_states: jnp.ndarray | None = None,
+):
+    """Track → divergence gate → allocate (→ swapped-block realloc + swap
+    marking) → integrate. The SINGLE tracker-dispatch/fusion orchestration
+    shared by the plain frame step and the swapping frame step (reference:
+    ITMDenseMapper::ProcessFrame runs identically whatever the tracker,
+    ITMDenseMapper.cpp:51-65).
 
-    Tracker selection follows settings.tracker_type (reference:
-    ITMTrackerFactory): ICP (depth), WICP (noise-weighted), COLOR
-    (photometric, maps raycast in the rgb frame), EXTERNAL (pose injected).
-    """
+    Returns (vol, render_state, swap_states, pose, tr,
+    n_alloc_overflow, n_window_clipped)."""
     from infinitam_tpu.config import TrackerType
     from infinitam_tpu.engine.trackers import track_color, track_external
 
@@ -1084,6 +1107,16 @@ def process_frame_hash(
         only_update_visible=not fusion_active,
         enable=fuse_enable,
     )
+    if swap_states is not None:
+        from infinitam_tpu.engine import swapping as sw
+
+        vol = sw.reallocate_swapped_out(
+            vol, render_state.visible_type, settings,
+            visible_ids=render_state.visible_ids,
+        )
+        swap_states = sw.mark_visible_for_swap(
+            swap_states, render_state.visible_type
+        )
     n_window_clipped = jnp.int32(0)
     if fusion_active:
         vol = integrate_into_scene(
@@ -1103,6 +1136,31 @@ def process_frame_hash(
                 settings.scene.voxel_size, settings.hashing.block_size,
             )
             n_window_clipped = jnp.sum(_clip).astype(jnp.int32)
+    return (
+        vol, render_state, swap_states, pose, tr, n_alloc_overflow,
+        n_window_clipped,
+    )
+
+
+def _prepare_impl(
+    vol: HashVolume,
+    render_state: RenderStateVH,
+    state: TrackingState,
+    view: View,
+    pose: jnp.ndarray,
+    tr: TrackResult,
+    proj: jnp.ndarray,
+    settings: Settings,
+    proj_rgb: jnp.ndarray | None,
+    rgb_to_depth: jnp.ndarray | None,
+) -> TrackingState:
+    """Raycast-prepare the next frame's tracking maps (reference:
+    ITMTrackingController::Prepare — color branch raycasts in the rgb frame,
+    useApproximateRaycast keeps stale maps until TrackerFarFromPointCloud)."""
+    from infinitam_tpu.config import TrackerType
+
+    img_size = view.depth.shape
+    tt = settings.tracker_type
 
     if tt == TrackerType.COLOR:
         points_map, normals_map = create_point_cloud(
@@ -1149,7 +1207,7 @@ def process_frame_hash(
         pose_pc = pose
         age = jnp.array(0, dtype=jnp.int32)
 
-    new_state = TrackingState(
+    return TrackingState(
         pose=pose,
         points_map=points_map,
         normals_map=normals_map,
@@ -1158,8 +1216,14 @@ def process_frame_hash(
         f=tr.f,
         num_valid=tr.num_valid,
     )
+
+
+def _frame_diag(
+    vol, render_state, pose, proj, tr, settings,
+    n_alloc_overflow, n_window_clipped, img_size,
+) -> FrameDiagnostics:
     n_vis = render_state.n_visible
-    diag = FrameDiagnostics(
+    return FrameDiagnostics(
         f=tr.f,
         num_valid=tr.num_valid,
         n_visible=n_vis,
@@ -1178,7 +1242,129 @@ def process_frame_hash(
         else count_too_big_blocks(vol, render_state, pose, proj, settings),
         n_window_clipped=n_window_clipped,
     )
+
+
+@partial(jax.jit, static_argnames=("settings", "fusion_active"))
+def process_frame_hash(
+    vol: HashVolume,
+    render_state: RenderStateVH,
+    state: TrackingState,
+    view: View,
+    proj: jnp.ndarray,
+    settings: Settings,
+    fusion_active: bool = True,
+    proj_rgb: jnp.ndarray | None = None,
+    rgb_to_depth: jnp.ndarray | None = None,
+    external_pose: jnp.ndarray | None = None,
+) -> Tuple[HashVolume, RenderStateVH, TrackingState, FrameDiagnostics]:
+    """One full frame on the hash volume: track → allocate+fuse → raycast.
+
+    Tracker selection follows settings.tracker_type (reference:
+    ITMTrackerFactory): ICP (depth), WICP (noise-weighted), COLOR
+    (photometric, maps raycast in the rgb frame), REN (SDF refinement),
+    EXTERNAL (pose injected)."""
+    img_size = view.depth.shape
+    (vol, render_state, _sw, pose, tr, n_alloc_overflow, n_window_clipped) = (
+        _track_fuse_impl(
+            vol, render_state, state, view, proj, settings, fusion_active,
+            proj_rgb, rgb_to_depth, external_pose, swap_states=None,
+        )
+    )
+    new_state = _prepare_impl(
+        vol, render_state, state, view, pose, tr, proj, settings,
+        proj_rgb, rgb_to_depth,
+    )
+    diag = _frame_diag(
+        vol, render_state, pose, proj, tr, settings,
+        n_alloc_overflow, n_window_clipped, img_size,
+    )
     return vol, render_state, new_state, diag
+
+
+@partial(jax.jit, static_argnames=("settings", "fusion_active"))
+def step_track_fuse_swap(
+    vol: HashVolume,
+    render_state: RenderStateVH,
+    state: TrackingState,
+    swap_states: jnp.ndarray,
+    view: View,
+    proj: jnp.ndarray,
+    settings: Settings,
+    fusion_active: bool = True,
+    proj_rgb: jnp.ndarray | None = None,
+    rgb_to_depth: jnp.ndarray | None = None,
+    external_pose: jnp.ndarray | None = None,
+):
+    """Device half-frame BEFORE the host swap exchange: identical tracker
+    dispatch, divergence gate, and fusion to process_frame_hash, plus the
+    swap-protocol hooks (reference: ITMDenseMapper.cpp:51-65 — the swapping
+    path runs the same orchestration whatever the tracker)."""
+    img_size = view.depth.shape
+    (vol, render_state, swap_states, pose, tr, n_alloc_overflow, n_window_clipped) = (
+        _track_fuse_impl(
+            vol, render_state, state, view, proj, settings, fusion_active,
+            proj_rgb, rgb_to_depth, external_pose, swap_states=swap_states,
+        )
+    )
+    diag = _frame_diag(
+        vol, render_state, pose, proj, tr, settings,
+        n_alloc_overflow, n_window_clipped, img_size,
+    )
+    return vol, render_state, swap_states, pose, tr, diag
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def step_prepare(
+    vol: HashVolume,
+    render_state: RenderStateVH,
+    state: TrackingState,
+    view: View,
+    pose: jnp.ndarray,
+    tr: TrackResult,
+    proj: jnp.ndarray,
+    settings: Settings,
+    proj_rgb: jnp.ndarray | None = None,
+    rgb_to_depth: jnp.ndarray | None = None,
+) -> TrackingState:
+    """Device half-frame AFTER the host swap exchange (raycast prepare)."""
+    return _prepare_impl(
+        vol, render_state, state, view, pose, tr, proj, settings,
+        proj_rgb, rgb_to_depth,
+    )
+
+
+@partial(jax.jit, static_argnames=("settings", "fusion_active"))
+def process_sequence_hash(
+    vol: HashVolume,
+    render_state: RenderStateVH,
+    state: TrackingState,
+    depths: jnp.ndarray,  # [N, H, W] metric depth frames
+    proj: jnp.ndarray,
+    settings: Settings,
+    fusion_active: bool = True,
+):
+    """Replay N depth frames as ONE on-device program (lax.scan over the
+    frame recursion). The per-frame math is identical to process_frame_hash —
+    the sequential track→fuse→raycast dependency is preserved by the scan
+    carry — but the host dispatches once per SEQUENCE instead of once per
+    frame. (Per-dispatch overhead measured ~3.6 ms on the axon tunnel after
+    any D2H transfer — PERF_NOTES.md; a live-camera deployment feeds frames
+    through a device-side ring buffer the same way.)
+
+    Returns (vol, render_state, state, poses [N,4,4], diags [N,...])."""
+
+    def step(carry, depth):
+        v, rs, st = carry
+        v, rs, st, diag = process_frame_hash(
+            v, rs, st, View(depth=depth), proj, settings,
+            fusion_active=fusion_active,
+        )
+        return (v, rs, st), (st.pose, diag)
+
+    (vol, render_state, state), (poses, diags) = jax.lax.scan(
+        step, (vol, render_state, state), depths
+    )
+    return vol, render_state, state, poses, diags
 
 
 def create_engine_state(settings: Settings, img_size: Tuple[int, int]):

@@ -11,7 +11,6 @@ between integration and the raycast prep)."""
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -19,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from infinitam_tpu.calib import RGBDCalib
-from infinitam_tpu.config import Settings, SwappingMode, TrackerType
+from infinitam_tpu.config import Settings, SwappingMode
 from infinitam_tpu.engine import hash_pipeline as hp
 from infinitam_tpu.engine import hash_volume as hv
 from infinitam_tpu.engine import swapping as sw
@@ -27,59 +26,6 @@ from infinitam_tpu.engine.tracking_state import create_tracking_state
 from infinitam_tpu.engine.view_builder import build_view, build_view_from_metric_depth
 from infinitam_tpu.ops import raycast as rc
 from infinitam_tpu.utils import se3
-
-
-@partial(jax.jit, static_argnames=("settings", "fusion_active"))
-def _step_track_fuse_swap(
-    vol,
-    render_state,
-    state,
-    swap_states,
-    view,
-    proj,
-    settings: Settings,
-    fusion_active: bool,
-    proj_rgb,
-    rgb_to_depth,
-    external_pose,
-):
-    """Track + allocate (+ swapped-block realloc + swap marking) + integrate —
-    the device part of the frame before the host swap exchange."""
-    from infinitam_tpu.engine.trackers import track_depth, track_external
-
-    tt = settings.tracker_type
-    if tt == TrackerType.EXTERNAL:
-        from infinitam_tpu.engine.trackers import track_external as _te
-
-        tr = _te(state.pose, external_pose)
-    else:
-        tr = track_depth(
-            state.pose,
-            view.depth,
-            proj,
-            state.points_map,
-            state.normals_map,
-            state.pose_point_cloud,
-            settings.tracking,
-            weights_map=view.depth_uncertainty if tt == TrackerType.WICP else None,
-        )
-    have_maps = state.age >= 0
-    pose = jnp.where(have_maps, tr.pose, state.pose)
-
-    vol, render_state, _n_alloc_overflow = hp.allocate_scene_from_depth(
-        vol, render_state, view.depth, pose, proj, settings,
-        only_update_visible=not fusion_active,
-    )
-    vol = sw.reallocate_swapped_out(
-        vol, render_state.visible_type, settings, visible_ids=render_state.visible_ids
-    )
-    swap_states = sw.mark_visible_for_swap(swap_states, render_state.visible_type)
-    if fusion_active:
-        vol = hp.integrate_into_scene(
-            vol, render_state, view, pose, proj, settings,
-            proj_rgb=proj_rgb, rgb_to_depth=rgb_to_depth,
-        )
-    return vol, render_state, swap_states, pose, tr
 
 
 class MainEngine:
@@ -159,18 +105,25 @@ class MainEngine:
             )
 
         if self.swapping:
-            (self.vol, self.render_state, self.swap_states, pose, tr) = _step_track_fuse_swap(
-                self.vol,
-                self.render_state,
-                self.tracking_state,
-                self.swap_states,
-                view,
-                self.proj,
-                self.settings,
-                self.fusion_active,
-                self.proj_rgb,
-                self.rgb_to_depth,
-                external_pose if external_pose is not None else self.tracking_state.pose,
+            # Unified orchestration (reference: ITMDenseMapper runs the same
+            # pipeline whatever the tracker): the device frame is the SAME
+            # tracker-dispatch + divergence-gate + fusion as the non-swap
+            # path, split only around the host swap exchange.
+            (self.vol, self.render_state, self.swap_states, pose, tr, d) = (
+                hp.step_track_fuse_swap(
+                    self.vol,
+                    self.render_state,
+                    self.tracking_state,
+                    self.swap_states,
+                    view,
+                    self.proj,
+                    self.settings,
+                    self.fusion_active,
+                    self.proj_rgb,
+                    self.rgb_to_depth,
+                    external_pose if external_pose is not None
+                    else self.tracking_state.pose,
+                )
             )
             self.vol, self.swap_states = sw.swap_in(
                 self.vol, self.swap_states, self.global_cache, self.settings
@@ -178,23 +131,15 @@ class MainEngine:
             self.vol, self.swap_states = sw.swap_out(
                 self.vol, self.swap_states, self.render_state, self.global_cache, self.settings
             )
-            points_map, normals_map = hp.prepare_tracking_maps(
-                self.vol, self.render_state, pose, self.proj, self.img_size, self.settings
-            )
-            self.tracking_state = self.tracking_state._replace(
-                pose=pose,
-                points_map=points_map,
-                normals_map=normals_map,
-                pose_point_cloud=pose,
-                age=jnp.array(0, dtype=jnp.int32),
-                f=tr.f,
-                num_valid=tr.num_valid,
+            self.tracking_state = hp.step_prepare(
+                self.vol, self.render_state, self.tracking_state, view, pose, tr,
+                self.proj, self.settings, self.proj_rgb, self.rgb_to_depth,
             )
             diag = {
-                "f": float(tr.f),
-                "num_valid": int(tr.num_valid),
-                "n_visible": int(self.render_state.n_visible),
-                "n_free_blocks": int(self.vol.last_free_block) + 1,
+                "f": float(d.f),
+                "num_valid": int(d.num_valid),
+                "n_visible": int(d.n_visible),
+                "n_free_blocks": int(d.n_free_blocks),
             }
         else:
             (self.vol, self.render_state, self.tracking_state, d) = hp.process_frame_hash(
@@ -236,13 +181,23 @@ class MainEngine:
         explicit pose."""
         from infinitam_tpu.ops import colormaps as cm
 
+        freeview = pose is not None
         pose = self.tracking_state.pose if pose is None else jnp.asarray(pose)
         proj = self.proj if proj is None else jnp.asarray(proj)
         if which == "depth" and view is not None:
             # reference InfiniTAM_IMAGE_ORIGINAL_DEPTH: colormap the input
             return np.asarray(cm.depth_to_uchar4(jnp.asarray(view)))
+        # Freeview renders rebuild a visible list for the REQUESTED pose
+        # (reference: GetImage runs FindVisibleBlocks → CreateExpectedDepths
+        # on a dedicated renderState_freeview, ITMMainEngine.cpp:176-182);
+        # the live list only covers the tracked camera's frustum.
+        rs = (
+            hp.find_visible_blocks(self.vol, pose, proj, self.img_size, self.settings)
+            if freeview
+            else self.render_state
+        )
         res = hp.raycast_hash(
-            self.vol, self.render_state, pose, proj, self.img_size, self.settings
+            self.vol, rs, pose, proj, self.img_size, self.settings
         )
         inv = se3.invert(pose)
         if which == "normals":

@@ -78,7 +78,10 @@ def _raycast_kernel(
     page_key_ref,  # scalar-prefetch SMEM [NT·KP] int32 — cell keys (−2 empty)
     #   (flat 1-D: a [1200,48] operand lane-pads in SMEM to 600 KB; two of
     #   them blow the 1 MB SMEM budget — flat costs the true 230 KB each)
-    rays_ref,  # VMEM (1, 8, 256) f32 — ox,oy,oz,dx,dy,dz,L,active
+    cam_ref,  # scalar-prefetch SMEM [19] f32 — fx,fy,cx,cy,zmin,zmax,1/vox,
+    #   inv-pose R row-major (9), inv-pose t (3); rays are generated
+    #   IN-KERNEL from these (the XLA-side ray build + 8-plane tileize cost
+    #   3 ms and 10 MB of HBM traffic per frame)
     vox_ref,  # ANY/HBM (B, 512) int32 — the live VBA (packed voxels)
     out_ref,  # VMEM (1, 8, 256) f32 — px,py,pz,found,t*,sdf,...
     pages_dbuf,  # scratch VMEM (2·KP·8, 512) int32 — DMA double buffer
@@ -97,6 +100,7 @@ def _raycast_kernel(
     grid_dims: Tuple[int, int, int],
     grid_origin: Tuple[int, int, int],
     block_size: int,
+    tiles_w: int,
 ):
     S = block_size
     S2 = S * S
@@ -137,18 +141,43 @@ def _raycast_kernel(
     for k in range(kp):
         page_dma(slot, ti, k).wait()
 
+    # ---- in-kernel ray generation ----------------------------------------
+    # pixel (u, v) of each of the 256 lanes (row-major within the tile, the
+    # tileize() convention), → camera ray → world ray in voxel units,
+    # starting on the near frustum plane.
+    fx = cam_ref[0]
+    fy = cam_ref[1]
+    cx = cam_ref[2]
+    cy = cam_ref[3]
+    z_near = cam_ref[4]
+    z_far = cam_ref[5]
+    inv_vox = cam_ref[6]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, NRAY), 1)
+    u0 = jax.lax.rem(ti, tiles_w) * TILE
+    v0 = (ti // tiles_w) * TILE
+    u = (u0 + jax.lax.rem(lane, TILE)).astype(jnp.float32)
+    v = (v0 + lane // TILE).astype(jnp.float32)
+    dcx = (u - cx) / fx
+    dcy = (v - cy) / fy
+    nrm = jnp.sqrt(dcx * dcx + dcy * dcy + 1.0)
+    # unnormalized world direction w = R_inv · dir_cam (|w| = |dir_cam|)
+    w_x = cam_ref[7] * dcx + cam_ref[8] * dcy + cam_ref[9]
+    w_y = cam_ref[10] * dcx + cam_ref[11] * dcy + cam_ref[12]
+    w_z = cam_ref[13] * dcx + cam_ref[14] * dcy + cam_ref[15]
+    o_x = (w_x * z_near + cam_ref[16]) * inv_vox
+    o_y = (w_y * z_near + cam_ref[17]) * inv_vox
+    o_z = (w_z * z_near + cam_ref[18]) * inv_vox
+    inv_n = 1.0 / nrm
+    d_x = w_x * inv_n
+    d_y = w_y * inv_n
+    d_z = w_z * inv_n
+    lray = (z_far - z_near) * nrm * inv_vox
+    act0 = lray > 1e-3
+
     # ---- unpack pages + broadcast keys + per-page ray slabs ---------------
     # pages_dbuf rows are the PACKED int32 voxel lanes (Mosaic only supports
     # dynamic (1, 512) row loads at 32-bit width); the sdf byte is the top
     # byte, so an arithmetic shift recovers the signed int8 sdf exactly.
-    o_x = rays_ref[0, 0:1, :]
-    o_y = rays_ref[0, 1:2, :]
-    o_z = rays_ref[0, 2:3, :]
-    d_x = rays_ref[0, 3:4, :]
-    d_y = rays_ref[0, 4:5, :]
-    d_z = rays_ref[0, 5:6, :]
-    lray = rays_ref[0, 6:7, :]
-    act0 = rays_ref[0, 7:8, :] > 0.5
 
     # guarded inverse direction for the slab test (1e10 keeps the products
     # finite: sign-correct huge values instead of inf·0 = nan at boundaries)
@@ -359,16 +388,37 @@ def _raycast_kernel(
     out_ref[0, 7:8, :] = zero
 
 
+def make_cam_scalars(
+    inv_M: jnp.ndarray,  # [4,4] camera→world
+    proj: jnp.ndarray,  # (fx, fy, cx, cy)
+    z_near: float,
+    z_far: float,
+    voxel_size: float,
+) -> jnp.ndarray:
+    """[19] f32 scalar-prefetch vector for in-kernel ray generation."""
+    R = inv_M[:3, :3].reshape(-1)
+    t = inv_M[:3, 3]
+    return jnp.concatenate(
+        [
+            proj[:4].astype(jnp.float32),
+            jnp.array([z_near, z_far, 1.0 / voxel_size], jnp.float32),
+            R.astype(jnp.float32),
+            t.astype(jnp.float32),
+        ]
+    )
+
+
 def raycast_tiles(
     page_rows: jnp.ndarray,  # [NT, KP] int32 — VBA row per page (−1 empty)
     page_key: jnp.ndarray,  # [NT, KP] int32
-    rays: jnp.ndarray,  # [NT, 8, 256] f32
+    cam: jnp.ndarray,  # [19] f32 — see make_cam_scalars
     vox: jnp.ndarray,  # [B, 512] int32 — the live packed VBA (stays in HBM)
     *,
     t_march: int,
     step_scale: float,
     grid_dims: Tuple[int, int, int],
     grid_origin: Tuple[int, int, int],
+    tiles_w: int,
     block_size: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -383,12 +433,12 @@ def raycast_tiles(
         grid_dims=grid_dims,
         grid_origin=grid_origin,
         block_size=block_size,
+        tiles_w=tiles_w,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # page_rows, page_key live whole in SMEM
+        num_scalar_prefetch=3,  # page_rows, page_key, cam live whole in SMEM
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((1, 8, NRAY), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # VBA stays in HBM; row DMAs
         ],
         out_specs=pl.BlockSpec((1, 8, NRAY), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -408,7 +458,7 @@ def raycast_tiles(
         out_shape=jax.ShapeDtypeStruct((nt, 8, NRAY), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(page_rows.reshape(-1), page_key.reshape(-1), rays, vox)
+    )(page_rows.reshape(-1), page_key.reshape(-1), cam, vox)
 
 
 # --------------------------------------------------------------------------

@@ -75,21 +75,23 @@ def gate_raycast():
 
     s = Settings()
     nt, kp = 1200, s.raycast_pages_per_tile
-    np_pool = 2048
+    nb = 0x10000
     rng = np.random.default_rng(1)
-    page_rows = jnp.asarray(rng.integers(-1, np_pool, size=(nt, kp)), jnp.int32)
+    page_rows = jnp.asarray(rng.integers(-1, nb, size=(nt, kp)), jnp.int32)
     page_key = jnp.asarray(rng.integers(-2, 64**3, size=(nt, kp)), jnp.int32)
-    rays = jnp.asarray(rng.uniform(-1, 1, size=(nt, 8, 256)), jnp.float32)
-    rays = rays.at[:, 6, :].set(100.0).at[:, 7, :].set(1.0)
-    pool = jnp.asarray(
-        rng.integers(-(2**31), 2**31 - 1, size=(np_pool, 512)), jnp.int32
+    cam = rk.make_cam_scalars(
+        jnp.eye(4), jnp.array([525.0, 525.0, 319.5, 239.5]), 0.35, 3.0, 0.01
+    )
+    vox = jnp.asarray(
+        rng.integers(-(2**31), 2**31 - 1, size=(nb, 512)), jnp.int32
     )
     out = rk.raycast_tiles(
-        page_rows, page_key, rays, pool,
+        page_rows, page_key, cam, vox,
         t_march=s.raycast_t_march,
         step_scale=4.0,
         grid_dims=s.block_grid.dims,
         grid_origin=s.block_grid.origin,
+        tiles_w=40,
     )
     jax.block_until_ready(out)
 

@@ -87,29 +87,34 @@ def run_config(settings: Settings):
     frames = [src.get_images() for _ in range(N_FRAMES)]
     depths = jnp.asarray(np.stack([np.asarray(d) for d, _r, _g in frames]))
 
+    # correctness + compile run: the full replay from a fresh map
     vol, rs, state = hp.create_engine_state(settings, IMG)
-
-    # warmup: compile both programs + fuse the first frames
-    vol, rs, state, _poses, _diags = hp.process_sequence_hash(
-        vol, rs, state, depths[:N_WARM], proj, settings
-    )
-    jax.block_until_ready(state.pose)
-
-    t0 = time.perf_counter()
     vol, rs, state, poses, diags = hp.process_sequence_hash(
-        vol, rs, state, depths[N_WARM:], proj, settings
+        vol, rs, state, depths, proj, settings
     )
     jax.block_until_ready(poses)
+
+    # timed run: identical program (shape-cached), fresh map — measures the
+    # steady replay including first-frame allocation bursts
+    vol2, rs2, state2 = hp.create_engine_state(settings, IMG)
+    jax.block_until_ready(vol2.vox)
+    t0 = time.perf_counter()
+    _v, _r, _s, poses2, _d2 = hp.process_sequence_hash(
+        vol2, rs2, state2, depths, proj, settings
+    )
+    jax.block_until_ready(poses2)
     dt = time.perf_counter() - t0
-    fps = (N_FRAMES - N_WARM) / dt
+    fps = N_FRAMES / dt
 
     # Accuracy gate: full-trajectory ATE-RMSE vs ground truth at the 1 cm bar
     # (BASELINE.md: "ATE within 1 cm of reference trajectory"; the synthetic
     # sequence's exact ground truth stands in for the reference trajectory —
-    # the reference repo ships no Teddy frames to replay).
+    # the reference repo ships no Teddy frames to replay). Frame 0 has no
+    # tracking yet (age<0) and is skipped, like the reference's first frame.
     poses_np = np.asarray(poses)
     errs = []
-    for i, (_d, _r, gt) in enumerate(frames[N_WARM:]):
+    for i in range(1, N_FRAMES):
+        _d, _r, gt = frames[i]
         c_est = np.linalg.inv(poses_np[i])[:3, 3]
         c_gt = np.asarray(se3.invert(jnp.asarray(gt)))[:3, 3]
         errs.append(np.sum((c_est - c_gt) ** 2))
@@ -127,6 +132,23 @@ def run_config(settings: Settings):
 
 
 def main():
+    import os
+
+    only = os.environ.get("ITPU_BENCH_CONFIG", "")  # dev: "5mm" | "1cm"
+    if only == "1cm":
+        fps_1cm, ate_1cm, diag_1cm = run_config(teddy_1cm_settings())
+        print(f"diag(1cm, last frame): {diag_1cm}", file=sys.stderr)
+        print(json.dumps({"metric": "fps @1cm (dev)", "value": round(fps_1cm, 2),
+                          "unit": "frames/s", "vs_baseline": round(fps_1cm / 100, 3),
+                          "ate_rmse_m": round(ate_1cm, 5)}))
+        return
+    if only == "5mm":
+        fps_ref, ate_ref, diag_ref = run_config(reference_settings())
+        print(f"diag(5mm, last frame): {diag_ref}", file=sys.stderr)
+        print(json.dumps({"metric": "fps @5mm (dev)", "value": round(fps_ref, 2),
+                          "unit": "frames/s", "vs_baseline": round(fps_ref / 100, 3),
+                          "ate_rmse_m": round(ate_ref, 5)}))
+        return
     fps_ref, ate_ref, diag_ref = run_config(reference_settings())
     print(f"diag(5mm, last frame): {diag_ref}", file=sys.stderr)
     fps_1cm, ate_1cm, diag_1cm = run_config(teddy_1cm_settings())

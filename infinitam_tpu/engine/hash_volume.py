@@ -135,11 +135,6 @@ class HashVolume(NamedTuple):
     entry_grid: Optional[jnp.ndarray] = None
     # dense cell→VBA-pointer grid, [G³] flat int32; −1 = not resident
     block_grid: Optional[jnp.ndarray] = None
-    # compact append-only list of allocated entry indices (entries are never
-    # destroyed — swap-out only clears ptr), −1 padding; visible-list
-    # compaction runs over this instead of all E entries
-    alloc_entries: Optional[jnp.ndarray] = None
-    n_alloc_entries: Optional[jnp.ndarray] = None  # scalar int32
 
 
 class RenderStateVH(NamedTuple):
@@ -171,27 +166,23 @@ def create_hash(
     params: VoxelBlockHashParams,
     with_color: bool = False,
     grid_params=None,
-    entry_list_cap: Optional[int] = None,
 ) -> HashVolume:
     """Allocate + reset (reference: ITMVoxelBlockHash ctor + ResetScene —
     free lists full, all entries empty, sdf=1, w=0). The LAST VBA row is a
     reserved sentinel (see sentinel_row) — the free stack tops out at B−2.
 
     `grid_params` enables the incrementally-maintained accelerator caches
-    (entry/block grids + compact allocated-entry list)."""
+    (entry/block grids)."""
     E = params.n_entries
     B = params.n_blocks
     X = params.n_excess
     S3 = params.block_volume
-    eg = bg = ae = nae = None
+    eg = bg = None
     if grid_params is not None:
         gx, gy, gz = grid_params.dims
         G3 = gx * gy * gz
         eg = jnp.full((G3,), -1, dtype=jnp.int32)
         bg = jnp.full((G3,), -1, dtype=jnp.int32)
-        cap = entry_list_cap if entry_list_cap is not None else B + X
-        ae = jnp.full((cap,), -1, dtype=jnp.int32)
-        nae = jnp.array(0, dtype=jnp.int32)
     vol = HashVolume(
         entry_pos=jnp.zeros((E, 3), dtype=jnp.int32),
         entry_ptr=jnp.full((E,), FREE_PTR, dtype=jnp.int32),
@@ -204,8 +195,6 @@ def create_hash(
         vox_rgb=jnp.zeros((B, S3), dtype=jnp.int32) if with_color else None,
         entry_grid=eg,
         block_grid=bg,
-        alloc_entries=ae,
-        n_alloc_entries=nae,
     )
     return vol
 
@@ -585,16 +574,6 @@ def insert_blocks(
             entry_grid=vol.entry_grid.at[cidx].set(widx << 1, mode="drop"),
             block_grid=vol.block_grid.at[cidx].set(new_block, mode="drop"),
         )
-    if vol.alloc_entries is not None:
-        done = do1 | do2
-        # winners occupy the leading block ranks (free-list failures are
-        # always tail ranks by construction above) → contiguous append
-        cap = vol.alloc_entries.shape[0]
-        apos = jnp.where(done, vol.n_alloc_entries + block_rank, cap)
-        new_vol = new_vol._replace(
-            alloc_entries=vol.alloc_entries.at[apos].set(widx, mode="drop"),
-            n_alloc_entries=vol.n_alloc_entries + n_blocks_taken,
-        )
     return new_vol, visible_type, widx
 
 
@@ -602,16 +581,9 @@ def refresh_caches(vol: HashVolume, grid_params) -> HashVolume:
     """Rebuild all accelerator caches from the canonical hash state (used at
     creation-from-snapshot / migration time; per-frame they are maintained
     incrementally). Also the test oracle for the incremental updates."""
-    E = vol.entry_ptr.shape[0]
     eg = build_entry_grid(vol, grid_params)
     bg = build_block_grid(vol, grid_params, None).reshape(-1)
-    ae = nae = None
-    if vol.alloc_entries is not None:
-        cap = vol.alloc_entries.shape[0]
-        allocated = vol.entry_ptr >= SWAPPED_PTR
-        ae = jnp.nonzero(allocated, size=cap, fill_value=-1)[0].astype(jnp.int32)
-        nae = jnp.sum(allocated).astype(jnp.int32)
-    return vol._replace(entry_grid=eg, block_grid=bg, alloc_entries=ae, n_alloc_entries=nae)
+    return vol._replace(entry_grid=eg, block_grid=bg)
 
 
 def get_block_grid(vol: HashVolume, grid_params, params: VoxelBlockHashParams) -> jnp.ndarray:
@@ -730,9 +702,9 @@ def build_visible_list(
 
     With `prev_ids` (last frame's compact visible list) the projection
     re-check runs over those ≤V rows only — type-3 entries are exactly last
-    frame's visibles, so this is lossless and ~E/V cheaper. With
-    vol.alloc_entries the compaction runs over the compact allocated-entry
-    list instead of all E entries (every visible entry is allocated)."""
+    frame's visibles, so this is lossless and ~E/V cheaper. This is the
+    ORACLE path (full-plane semantics); the hot path builds the compact list
+    directly in hash_pipeline.allocate_scene_from_depth."""
     E = params.n_entries
     if prev_ids is not None:
         pid_c = jnp.clip(prev_ids, 0, E - 1)
@@ -753,21 +725,11 @@ def build_visible_list(
         )
         visible_type = jnp.where(recheck & ~vis, VT_NOT_VISIBLE, visible_type)
 
-    if vol.alloc_entries is not None:
-        ae = vol.alloc_entries
-        ae_c = jnp.clip(ae, 0, E - 1)
-        vmask = (ae >= 0) & (visible_type[ae_c] > 0)
-        pos = jnp.nonzero(vmask, size=params.max_visible_blocks, fill_value=-1)[0]
-        ids = jnp.where(pos >= 0, ae_c[jnp.clip(pos, 0, ae.shape[0] - 1)], -1).astype(
-            jnp.int32
-        )
-        n = jnp.sum(vmask).astype(jnp.int32)
-    else:
-        mask = visible_type > 0
-        ids = jnp.nonzero(mask, size=params.max_visible_blocks, fill_value=-1)[0].astype(
-            jnp.int32
-        )
-        n = jnp.sum(mask).astype(jnp.int32)
+    mask = visible_type > 0
+    ids = jnp.nonzero(mask, size=params.max_visible_blocks, fill_value=-1)[0].astype(
+        jnp.int32
+    )
+    n = jnp.sum(mask).astype(jnp.int32)
     return RenderStateVH(visible_type=visible_type, visible_ids=ids, n_visible=n)
 
 

@@ -107,3 +107,69 @@ def test_checkpoint_resume_identical_continuation(tmp_path):
     np.testing.assert_allclose(
         np.asarray(eng.vol.vox), np.asarray(eng2.vol.vox), atol=1e-6
     )
+
+
+def test_checkpoint_rejects_sentinel_violation(tmp_path):
+    """A snapshot whose hash points at the reserved sentinel VBA row must
+    fail loudly on load (it would re-enable the Pallas integrate
+    lost-update hazard)."""
+    calib = default_calib(IMG[1], IMG[0])
+    eng = MainEngine(SETTINGS, calib, IMG)
+    src = synth.SyntheticSource(calib, n_frames=2, img_size=IMG)
+    for _ in range(2):
+        d, _r, _g = src.get_images()
+        eng.process_frame(metric_depth=d)
+    # corrupt: alias one allocated entry onto the sentinel row
+    sent = SETTINGS.hashing.n_blocks - 1
+    ptr = np.asarray(eng.vol.entry_ptr).copy()
+    alloc = np.nonzero(ptr >= 0)[0]
+    ptr[alloc[0]] = sent
+    eng.vol = eng.vol._replace(entry_ptr=jnp.asarray(ptr))
+    path = os.path.join(tmp_path, "bad.npz")
+    ckpt.save_engine(path, eng)
+    eng2 = MainEngine(SETTINGS, calib, IMG)
+    with pytest.raises(ValueError, match="sentinel"):
+        ckpt.load_engine(path, eng2)
+
+
+def test_checkpoint_migrates_missing_cache_leaves(tmp_path):
+    """Snapshots from a build WITHOUT the accelerator caches / epoch planes
+    must load: missing leaves keep defaults, caches rebuild from the hash
+    (load-time migration instead of a KeyError)."""
+    calib = default_calib(IMG[1], IMG[0])
+    eng = MainEngine(SETTINGS, calib, IMG)
+    src = synth.SyntheticSource(calib, n_frames=4, img_size=IMG)
+    frames = [src.get_images() for _ in range(4)]
+    for d, _r, _g in frames[:2]:
+        eng.process_frame(metric_depth=d)
+
+    # simulate an old-format snapshot: drop the cache/epoch leaves
+    path = os.path.join(tmp_path, "old.npz")
+    ckpt.save_engine(path, eng)
+    z = dict(np.load(path))
+    import json
+
+    meta = json.loads(bytes(z["__meta__"]).decode())
+    keep = [
+        (i, n) for i, n in enumerate(meta["__names__"])
+        if not any(t in n for t in ("entry_grid", "block_grid", "cell_epoch",
+                                    "entry_epoch", "epoch"))
+    ]
+    arrays = {f"leaf_{j}": z[f"leaf_{i}"] for j, (i, _n) in enumerate(keep)}
+    meta["__names__"] = [n for _i, n in keep]
+    arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+
+    eng2 = MainEngine(SETTINGS, calib, IMG)
+    ckpt.load_engine(path, eng2)
+    # caches were rebuilt: continuing must track normally
+    for d, _r, _g in frames[2:]:
+        diag = eng2.process_frame(metric_depth=d)
+    assert diag["num_valid"] > 500
+    # rebuilt caches equal the from-scratch rebuild
+    from infinitam_tpu.engine import hash_volume as hv
+
+    ref = hv.refresh_caches(eng2.vol, SETTINGS.block_grid)
+    np.testing.assert_array_equal(
+        np.asarray(eng2.vol.entry_grid), np.asarray(ref.entry_grid)
+    )

@@ -1,14 +1,15 @@
 """Headless CLI SLAM runner — the reference's InfiniTAM_cli.
 
 Reference parity: Engine/CLIEngine.{h,cpp} (getImages→ProcessFrame loop with
-instant + running-average ms, CLIEngine.cpp:50-99) and InfiniTAM_cli.cpp's
-argument handling (`calib.txt rgb_mask depth_mask`).
+instant + running-average ms, CLIEngine.cpp:50-99), InfiniTAM.cpp's source
+fallback chain (:21-87), and UIEngine's input recording ('s' key,
+UIEngine.cpp:498-508) as --record/--replay.
 
 Usage:
     python -m infinitam_tpu.apps.cli <calib.txt> [<rgb_mask> <depth_mask>]
-        [--frames N] [--synthetic] [--out-mesh scene.stl]
-        [--out-render render_%04i.ppm] [--voxel-size 0.005] [--mu 0.02]
-        [--cpu]
+        [--frames N] [--synthetic] [--tum ROOT] [--out-mesh scene.stl]
+        [--out-render render_%04i.png] [--record DIR] [--replay DIR]
+        [--voxel-size 0.005] [--mu 0.02] [--cpu]
 """
 
 from __future__ import annotations
@@ -26,6 +27,9 @@ def main(argv=None):
     ap.add_argument("rgb_mask", nargs="?", help="printf mask for rgb frames (%%04i.ppm)")
     ap.add_argument("depth_mask", nargs="?", help="printf mask for depth frames (%%04i.pgm)")
     ap.add_argument("--synthetic", action="store_true", help="replay the synthetic scene")
+    ap.add_argument("--tum", default=None, help="TUM-RGBD sequence root (associations.txt)")
+    ap.add_argument("--record", default=None, help="record the raw input stream to DIR")
+    ap.add_argument("--replay", default=None, help="replay a --record DIR deterministically")
     ap.add_argument("--frames", type=int, default=50)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=480)
@@ -34,7 +38,8 @@ def main(argv=None):
     ap.add_argument("--tracker", default="icp", choices=["icp", "wicp", "color", "ren", "external"])
     ap.add_argument("--swapping", action="store_true")
     ap.add_argument("--out-mesh", default=None)
-    ap.add_argument("--out-render", default=None, help="printf mask for raycast dumps")
+    ap.add_argument("--out-render", default=None,
+                    help="printf mask for raycast dumps (.ppm or .png)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args(argv)
 
@@ -44,12 +49,11 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
 
-    from infinitam_tpu.calib import default_calib
+    from infinitam_tpu.calib import default_calib, read_rgbd_calib
     from infinitam_tpu.config import Settings, SceneParams, SwappingMode, TrackerType
     from infinitam_tpu.engine.main_engine import MainEngine
-    from infinitam_tpu.io import synth
-    from infinitam_tpu.io.sources import ImageFileReader
-    from infinitam_tpu.utils.image_io import write_ppm, expand_printf_mask
+    from infinitam_tpu.io import sources as srcs
+    from infinitam_tpu.utils.image_io import write_image, expand_printf_mask
 
     settings = Settings(
         scene=SceneParams(voxel_size=args.voxel_size, mu=args.mu),
@@ -58,7 +62,16 @@ def main(argv=None):
         use_color=args.tracker == "color",
     )
 
-    if args.synthetic or not args.calib:
+    if args.replay:
+        calib = (
+            read_rgbd_calib(args.calib) if args.calib
+            else default_calib(args.width, args.height)
+        )
+        src = srcs.ReplaySource(args.replay, calib)
+        synthetic = False
+    elif args.synthetic:
+        from infinitam_tpu.io import synth
+
         calib = default_calib(args.width, args.height)
         src = synth.SyntheticSource(
             calib, n_frames=args.frames, img_size=(args.height, args.width),
@@ -66,9 +79,16 @@ def main(argv=None):
         )
         synthetic = True
     else:
-        src = ImageFileReader(args.calib, args.rgb_mask or "", args.depth_mask)
+        # reference InfiniTAM.cpp source fallback chain
+        src, synthetic = srcs.make_source(
+            calib_path=args.calib, rgb_mask=args.rgb_mask,
+            depth_mask=args.depth_mask, tum_root=args.tum,
+            img_size=(args.height, args.width), n_frames=args.frames,
+            with_rgb=args.tracker == "color",
+        )
         calib = src.calib
-        synthetic = False
+    if args.record:
+        src = srcs.RecordingSource(src, args.record)
 
     img_size = (calib.intrinsics_d.height, calib.intrinsics_d.width)
     engine = MainEngine(settings, calib, img_size)
@@ -76,14 +96,16 @@ def main(argv=None):
     total_ms = 0.0
     n = 0
     while src.has_more_images() and n < args.frames:
-        if synthetic:
-            depth, rgb, _gt = src.get_images()
-            t0 = time.perf_counter()
+        out = src.get_images()
+        depth, rgb = out[0], out[1]
+        metric = synthetic or (
+            depth is not None and np.asarray(depth).dtype.kind == "f"
+        )
+        t0 = time.perf_counter()
+        if metric:
             diag = engine.process_frame(metric_depth=depth, rgb=rgb)
         else:
-            raw_depth, rgb = src.get_images()
-            t0 = time.perf_counter()
-            diag = engine.process_frame(raw_depth=raw_depth, rgb=rgb)
+            diag = engine.process_frame(raw_depth=depth, rgb=rgb)
         dt = (time.perf_counter() - t0) * 1e3
         total_ms += dt
         n += 1
@@ -95,7 +117,7 @@ def main(argv=None):
         )
         if args.out_render:
             img = engine.get_image("raycast")
-            write_ppm(
+            write_image(
                 expand_printf_mask(args.out_render, n),
                 np.stack([img] * 3, axis=-1),
             )

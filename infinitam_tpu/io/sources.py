@@ -194,6 +194,114 @@ class PoseSource:
         return self._pose
 
 
+class RecordingSource(ImageSourceEngine):
+    """Wrap any source and record its raw stream to disk for deterministic
+    replay (reference: UIEngine 's' key writes the input depth/rgb images to
+    Files/Out with printf masks, UIEngine.cpp:498-508). Replay the directory
+    later with `replay_source(dir)` / `--replay`."""
+
+    DEPTH_MASK = "depth_%04i.pgm"
+    RGB_MASK = "rgb_%04i.ppm"
+
+    def __init__(self, inner: ImageSourceEngine, out_dir: str):
+        from infinitam_tpu.utils.image_io import write_image
+
+        self._write = write_image
+        self.inner = inner
+        self.calib = inner.calib
+        self.out_dir = out_dir
+        self.index = 0
+        os.makedirs(out_dir, exist_ok=True)
+
+    def has_more_images(self) -> bool:
+        return self.inner.has_more_images()
+
+    def get_images(self):
+        out = self.inner.get_images()
+        depth, rgb = out[0], out[1]
+        if depth is not None:
+            d = np.asarray(depth)
+            if d.dtype != np.uint16:
+                # metric float depth records as millimetres (TUM-style raw)
+                d = np.clip(np.asarray(d, np.float64) * 1000.0, 0, 65535).astype(np.uint16)
+            self._write(
+                os.path.join(self.out_dir, expand_printf_mask(self.DEPTH_MASK, self.index)), d
+            )
+        if rgb is not None:
+            r = np.asarray(rgb)
+            if r.dtype != np.uint8:
+                r = np.clip(np.asarray(r, np.float64) * 255.0, 0, 255).astype(np.uint8)
+            self._write(
+                os.path.join(self.out_dir, expand_printf_mask(self.RGB_MASK, self.index)), r
+            )
+        self.index += 1
+        return out
+
+
+class ReplaySource(ImageSourceEngine):
+    """Replay a RecordingSource directory (metric depth reconstructed from
+    the recorded millimetre uint16)."""
+
+    def __init__(self, rec_dir: str, calib: RGBDCalib):
+        self.root = rec_dir
+        self.calib = calib
+        self.index = 0
+
+    def _dpath(self, i: int) -> str:
+        return os.path.join(self.root, expand_printf_mask(RecordingSource.DEPTH_MASK, i))
+
+    def has_more_images(self) -> bool:
+        return os.path.exists(self._dpath(self.index))
+
+    def get_images(self):
+        depth_mm = read_image(self._dpath(self.index))
+        rpath = os.path.join(
+            self.root, expand_printf_mask(RecordingSource.RGB_MASK, self.index)
+        )
+        rgb = read_image(rpath) if os.path.exists(rpath) else None
+        self.index += 1
+        return depth_mm.astype(np.float32) / 1000.0, rgb
+
+
+def make_source(
+    calib_path: Optional[str] = None,
+    rgb_mask: Optional[str] = None,
+    depth_mask: Optional[str] = None,
+    tum_root: Optional[str] = None,
+    allow_synthetic: bool = True,
+    img_size: Tuple[int, int] = (480, 640),
+    n_frames: int = 50,
+    with_rgb: bool = False,
+):
+    """Source fallback chain (reference: InfiniTAM.cpp:21-87 tries
+    files → OpenNI → UVC → RealSense → Kinect2): here
+    file masks → TUM directory → live cameras (absent in this build) →
+    synthetic replay. Returns (source, is_synthetic)."""
+    if depth_mask and calib_path:
+        first = expand_printf_mask(depth_mask, 0)
+        if os.path.exists(first):
+            return ImageFileReader(calib_path, rgb_mask or "", depth_mask), False
+        print(f"[sources] no frames at {first}; trying next source")
+    if tum_root and os.path.exists(os.path.join(tum_root, "associations.txt")):
+        return TUMSource(tum_root), False
+    try:
+        return LiveSourceStub(), False
+    except RuntimeError as e:
+        print(f"[sources] {e}")
+    if not allow_synthetic:
+        raise RuntimeError("no usable image source")
+    from infinitam_tpu.io import synth
+
+    calib = (
+        read_rgbd_calib(calib_path) if calib_path
+        else default_calib(img_size[1], img_size[0])
+    )
+    return (
+        synth.SyntheticSource(calib, n_frames=n_frames, img_size=img_size, with_rgb=with_rgb),
+        True,
+    )
+
+
 class LiveSourceStub(ImageSourceEngine):
     """Placeholder for live camera backends (OpenNI2 / libuvc / RealSense /
     Kinect2 — reference Engine/{OpenNIEngine,LibUVCEngine,RealSenseEngine,

@@ -98,6 +98,60 @@ def read_image(path: str) -> np.ndarray:
     raise ValueError(f"unsupported image extension: {path}")
 
 
+def write_png(path: str, img: np.ndarray) -> None:
+    """PNG writer with a pure-stdlib (zlib) fallback — uint8 grey/RGB/RGBA
+    and uint16 grey (reference: FileUtils.cpp:251-424 covers PNG both ways
+    via libpng; here PIL when present, else a minimal encoder)."""
+    img = np.asarray(img)
+    try:
+        from PIL import Image
+
+        Image.fromarray(img).save(path)
+        return
+    except ImportError:  # pragma: no cover - exercised when PIL is absent
+        pass
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        color_type = 0
+        planes = img[:, :, None]
+    elif img.shape[2] == 3:
+        color_type = 2
+        planes = img
+    elif img.shape[2] == 4:
+        color_type = 6
+        planes = img
+    else:
+        raise ValueError(f"unsupported channel count {img.shape}")
+    if img.dtype == np.uint16:
+        depth = 16
+        raw = planes.astype(">u2").tobytes()
+        stride = planes.shape[1] * planes.shape[2] * 2
+    else:
+        depth = 8
+        raw = planes.astype(np.uint8).tobytes()
+        stride = planes.shape[1] * planes.shape[2]
+    rows = b"".join(
+        b"\x00" + raw[y * stride:(y + 1) * stride] for y in range(planes.shape[0])
+    )
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", planes.shape[1], planes.shape[0], depth, color_type, 0, 0, 0
+    )
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", zlib.compress(rows, 6)))
+        f.write(chunk(b"IEND", b""))
+
+
 def write_image(path: str, img: np.ndarray) -> None:
     lower = path.lower()
     if lower.endswith(".pgm"):
@@ -105,11 +159,7 @@ def write_image(path: str, img: np.ndarray) -> None:
     elif lower.endswith(".ppm"):
         write_ppm(path, img)
     elif lower.endswith(".png"):
-        try:
-            from PIL import Image
-        except ImportError as e:  # pragma: no cover
-            raise ImportError("PNG support requires PIL") from e
-        Image.fromarray(np.asarray(img)).save(path)
+        write_png(path, img)
     else:
         raise ValueError(f"unsupported image extension: {path}")
 

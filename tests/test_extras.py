@@ -151,3 +151,60 @@ def test_cli_synthetic_run(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "processed 3 frames" in out.stdout
     assert os.path.exists(mesh_path) and os.path.getsize(mesh_path) > 84
+
+
+def test_png_roundtrip_stdlib(tmp_path):
+    """write_png (incl. the zlib fallback path) round-trips via read_image."""
+    import numpy as np
+    from infinitam_tpu.utils import image_io as iio
+
+    rgb = np.arange(48 * 3, dtype=np.uint8).reshape(4, 12, 3)
+    p = str(tmp_path / "t.png")
+    iio.write_png(p, rgb)
+    back = iio.read_image(p)
+    np.testing.assert_array_equal(back[..., :3], rgb)
+    # uint16 grey (TUM-style depth)
+    d = (np.arange(48, dtype=np.uint16) * 931).reshape(4, 12)
+    p2 = str(tmp_path / "d.png")
+    iio.write_png(p2, d)
+    np.testing.assert_array_equal(np.asarray(iio.read_image(p2)), d)
+
+
+def test_record_replay_roundtrip(tmp_path):
+    """RecordingSource writes a stream ReplaySource reproduces (reference:
+    UIEngine 's'-key input recording, UIEngine.cpp:498-508)."""
+    import numpy as np
+    from infinitam_tpu.calib import default_calib
+    from infinitam_tpu.io import sources as srcs
+    from infinitam_tpu.io import synth
+
+    calib = default_calib(64, 48)
+    inner = synth.SyntheticSource(calib, n_frames=3, img_size=(48, 64))
+    rec = srcs.RecordingSource(inner, str(tmp_path / "rec"))
+    originals = [rec.get_images() for _ in range(3)]
+
+    rep = srcs.ReplaySource(str(tmp_path / "rec"), calib)
+    for depth0, _rgb0, _gt in originals:
+        assert rep.has_more_images()
+        depth1, _rgb1 = rep.get_images()
+        d0 = np.asarray(depth0)
+        d1 = np.asarray(depth1)
+        valid = d0 > 0  # invalid depth (-1) records as 0 — same semantics
+        np.testing.assert_array_equal(d1 > 0, valid)
+        # recorded at mm quantization (truncation <= 1 mm)
+        np.testing.assert_allclose(d1[valid], d0[valid], atol=1.1e-3)
+    assert not rep.has_more_images()
+
+
+def test_source_fallback_chain_reaches_synthetic(tmp_path, capsys):
+    """make_source (reference InfiniTAM.cpp:21-87 chain) falls through
+    missing files and absent cameras to the synthetic source."""
+    from infinitam_tpu.io import sources as srcs
+
+    src, is_synth = srcs.make_source(
+        calib_path=None, depth_mask=str(tmp_path / "none_%04i.pgm"),
+        img_size=(48, 64), n_frames=2,
+    )
+    assert is_synth
+    d, _r, _g = src.get_images()
+    assert d.shape == (48, 64)

@@ -132,17 +132,22 @@ def allocate_scene_from_depth(
     touched = cell_epoch == epoch  # [G³]
 
     # out-of-grid candidates fall back to hash probing (unbounded world —
-    # the grid is an accelerator, the hash stays canonical). lax.cond-gated:
-    # on a typical frame every candidate lands in the working grid.
+    # the grid is an accelerator, the hash stays canonical). lax.cond-gated
+    # INCLUDING the candidate compaction (a nonzero over the ~100 k-candidate
+    # plane costs >1 ms — only the cheap reduce runs unconditionally; on a
+    # typical frame every candidate lands in the working grid).
     oog = cval & ~in_grid
     n_oog = jnp.sum(oog).astype(jnp.int32)
-    oidx = jnp.nonzero(oog, size=OOG_CAP, fill_value=-1)[0]
-    oc = jnp.clip(oidx, 0, cbx.shape[0] - 1)
-    ocand = jnp.stack([cbx[oc], cby[oc], cbz[oc]], axis=-1)
-    ovalid = oidx >= 0
     entry_epoch = render_state.entry_epoch
 
+    def _oog_candidates():
+        oidx = jnp.nonzero(oog, size=OOG_CAP, fill_value=-1)[0]
+        oc = jnp.clip(oidx, 0, cbx.shape[0] - 1)
+        ocand = jnp.stack([cbx[oc], cby[oc], cbz[oc]], axis=-1)
+        return ocand, oidx >= 0
+
     def probe_oog(ee):
+        ocand, ovalid = _oog_candidates()
         opr = hv.probe(vol, ocand, hp, include_swapped=True)
         ofound = ovalid & opr.found
         oe = jnp.where(ofound, opr.entry_idx, E)
@@ -150,37 +155,43 @@ def allocate_scene_from_depth(
         ocode = jnp.where(
             opr.entry_ptr == hv.SWAPPED_PTR, hv.VT_VISIBLE_SWAPPED, hv.VT_VISIBLE
         )
-        return ee, oe, jnp.where(ofound, ocode, 0), opr.found
+        n_new = jnp.sum(ovalid & ~opr.found).astype(jnp.int32)
+        return ee, oe, jnp.where(ofound, ocode, 0), opr.found, n_new
 
-    entry_epoch, oog_vis_idx, oog_vis_code, oog_found = jax.lax.cond(
+    entry_epoch, oog_vis_idx, oog_vis_code, oog_found, n_oog_new = jax.lax.cond(
         n_oog > 0,
         probe_oog,
         lambda ee: (
             ee,
             jnp.full((OOG_CAP,), E, jnp.int32),
             jnp.zeros((OOG_CAP,), jnp.int32),
-            jnp.ones_like(ovalid),
+            jnp.ones((OOG_CAP,), bool),
+            jnp.int32(0),
         ),
         entry_epoch,
     )
 
     n_alloc_overflow = jnp.int32(0)
     if not only_update_visible:
-        # new in-grid cells: epoch-tagged but unallocated → insert once
+        # new in-grid cells: epoch-tagged but unallocated. Only the cheap
+        # reduce runs every frame; the compaction + decode + insert live in
+        # the cond (steady-state frames allocate nothing — the reference
+        # analogue is the per-entry alloc kernel with nothing marked,
+        # _CUDA.cu:149).
         want = touched & (vol.entry_grid < 0)
         n_want = jnp.sum(want).astype(jnp.int32)
         n_alloc_overflow = jnp.maximum(
             n_want - settings.max_alloc_blocks, 0
         ) + jnp.maximum(n_oog - OOG_CAP, 0)
-        ncell = jnp.nonzero(want, size=settings.max_alloc_blocks, fill_value=-1)[0]
-        ncell_c = jnp.clip(ncell, 0, G3 - 1)
-        nblocks = jnp.stack(
-            [ncell_c // (gy * gz), (ncell_c // gz) % gy, ncell_c % gz], axis=-1
-        ).astype(jnp.int32) + jnp.array(gp.origin, dtype=jnp.int32)
         dummy_vt = jnp.zeros((1,), jnp.int32)  # codes tracked compactly here
 
         def do_insert_grid(op):
             v, ee = op
+            ncell = jnp.nonzero(want, size=settings.max_alloc_blocks, fill_value=-1)[0]
+            ncell_c = jnp.clip(ncell, 0, G3 - 1)
+            nblocks = jnp.stack(
+                [ncell_c // (gy * gz), (ncell_c // gz) % gy, ncell_c % gz], axis=-1
+            ).astype(jnp.int32) + jnp.array(gp.origin, dtype=jnp.int32)
             v, _, _ = hv.insert_blocks(v, dummy_vt, nblocks, ncell >= 0, hp, grid_params=gp)
             # round 2 on the same set: same-bucket losers of round 1
             # (distinct blocks electing one winner per chain tail) insert now
@@ -192,24 +203,22 @@ def allocate_scene_from_depth(
 
         def do_insert_oog(op):
             v, ee, _ow = op
+            ocand, ovalid = _oog_candidates()
             v, _, owidx = hv.insert_blocks(
                 v, dummy_vt, ocand, ovalid & ~oog_found, hp, grid_params=gp
             )
             return v, ee.at[owidx].set(epoch, mode="drop"), owidx
 
-        # steady-state frames have zero new blocks: the cond skips the
-        # probe + election + scatter cost entirely (reference analogue: the
-        # per-entry alloc kernel has nothing marked, _CUDA.cu:149). The voxel
-        # planes don't flow through the cond — insert never touches them and
-        # carrying 134 MB through both branches costs real HBM traffic.
+        # The voxel planes don't flow through the conds — insert never
+        # touches them and carrying 134 MB through both branches costs real
+        # HBM traffic.
         slim = vol._replace(vox=jnp.zeros((1, 1), jnp.int32), vox_rgb=None)
         slim, entry_epoch = jax.lax.cond(
             n_want > 0, do_insert_grid, lambda op: op, (slim, entry_epoch)
         )
-        oog_ins = ovalid & ~oog_found
         no_widx = jnp.full((OOG_CAP,), E, jnp.int32)
         slim, entry_epoch, oog_new_idx = jax.lax.cond(
-            jnp.any(oog_ins),
+            n_oog_new > 0,
             do_insert_oog,
             lambda op: op,
             (slim, entry_epoch, no_widx),
@@ -453,33 +462,57 @@ def integrate_into_scene_pallas(
     """Flagship TPU integration: one Pallas grid step per visible block with
     in-place packed-row write-back (see ops/pallas/integrate_kernel.py;
     reference: integrateIntoScene_device <<<noVisibleEntries, 8³>>>,
-    ITMSceneReconstructionEngine_CUDA.cu:206-230)."""
+    ITMSceneReconstructionEngine_CUDA.cu:206-230).
+
+    Blocks are PARTITIONED BY PROJECTED FOOTPRINT into two kernel launches:
+    tap cost scales with depth-window AREA, and far blocks (the large
+    majority) fit a 6× smaller window than the worst-case near block."""
     from infinitam_tpu.ops.pallas import integrate_kernel as ik
 
     hp = settings.hashing
     sp = settings.scene
+    img_size = view.depth.shape
+    H, W = img_size
     V = settings.max_fused_blocks or hp.max_visible_blocks
     ids = render_state.visible_ids[:V]
     ids_c = jnp.clip(ids, 0, hp.n_entries - 1)
     ptr = vol.entry_ptr[ids_c]
     bpos = vol.entry_pos[ids_c]
     valid = (ids >= 0) & (ptr >= 0)
-    ptrs = jnp.where(valid, ptr, hv.sentinel_row(hp)).astype(jnp.int32)
+    sent = hv.sentinel_row(hp)
+    ptrs = jnp.where(valid, ptr, sent).astype(jnp.int32)
 
-    meta, _clipped = ik.block_windows(
-        bpos, valid, pose, proj, view.depth.shape, sp.voxel_size, hp.block_size
+    umin, umax, vmin, vmax = ik.block_proj_bounds(
+        bpos, pose, proj, sp.voxel_size, hp.block_size
     )
+    fp_u = jnp.minimum(umax, float(W)) - jnp.maximum(umin, 0.0)
+    fp_v = jnp.minimum(vmax, float(H)) - jnp.maximum(vmin, 0.0)
+    small = valid & (fp_u <= ik.WU_SMALL - 8) & (fp_v <= ik.WV_SMALL - 128)
+
     cam = ik.make_cam_vector(
         pose, proj, sp.voxel_size, sp.mu, sp.max_w,
-        sp.stop_integrating_at_max_w, enable, view.depth.shape,
+        sp.stop_integrating_at_max_w, enable, img_size,
     )
-    depth_t = ik.prep_depth_t(view.depth)
-    # dynamic grid: steps ∝ actual visible count, like the reference's
-    # <<<noVisibleEntries, 8³>>> launch (_CUDA.cu:206)
-    vox = ik.integrate_blocks(
-        vol.vox, ptrs, bpos, meta, depth_t, cam,
-        n_valid=render_state.n_visible, interpret=interpret,
-    )
+    depth_p = ik.prep_depth_planes(view.depth)
+
+    vox = vol.vox
+    for mask, window in ((small, (ik.WU_SMALL, ik.WV_SMALL)), (valid & ~small, None)):
+        idx = jnp.nonzero(mask, size=V, fill_value=-1)[0]
+        idc = jnp.clip(idx, 0, V - 1)
+        sel = idx >= 0
+        ptrs_t = jnp.where(sel, ptrs[idc], sent).astype(jnp.int32)
+        bpos_t = bpos[idc]
+        meta_t = ik.meta_from_bounds(
+            umin[idc], vmin[idc], sel, img_size,
+            window if window is not None else ik._win_dims(img_size),
+        )
+        # dynamic grid: steps ∝ actual tier population, like the reference's
+        # <<<noVisibleEntries, 8³>>> launch (_CUDA.cu:206)
+        vox = ik.integrate_blocks(
+            vox, ptrs_t, bpos_t, meta_t, depth_p, cam,
+            n_valid=jnp.sum(mask).astype(jnp.int32), window=window,
+            interpret=interpret,
+        )
     return vol._replace(vox=vox)
 
 

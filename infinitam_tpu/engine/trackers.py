@@ -210,7 +210,14 @@ def track_depth(
             f_last=jnp.array(1e5, dtype=jnp.float32),
             n_last=jnp.array(0, dtype=jnp.int32),
         )
-        final = jax.lax.fori_loop(0, n_iter, body, init)
+        # early-exit loop (the reference breaks on HasConverged,
+        # ITMDepthTracker.cpp:190-193): converged levels skip their remaining
+        # residual passes entirely instead of running them masked
+        final = jax.lax.while_loop(
+            lambda c: (c[0] < n_iter) & ~c[1].done,
+            lambda c: (c[0] + 1, body(c[0], c[1])),
+            (jnp.int32(0), init),
+        )[1]
         # the level hands the CURRENT pose to the next level (reference keeps
         # approxInvPose across levels via trackingState->pose_d)
         inv_pose = final.inv_pose

@@ -49,6 +49,13 @@ from jax.experimental.pallas import tpu as pltpu
 # FrameDiagnostics.n_window_risk via block_windows' clipped flag).
 WU_MAX = 256
 WV_MAX = 384
+# small-tier window (integrate_into_scene_pallas partitions blocks by
+# projected footprint): covers footprints ≤ (WU_S−8, WV_S−128) px = (56, 128)
+# — every block beyond z ≈ √3·f·block_m/56 (≈1.3 m at 8 cm blocks / f=525,
+# ≈0.65 m at 4 cm blocks), i.e. the large majority of a frustum's blocks.
+# Tap cost scales with window AREA: the small tier runs 6× cheaper.
+WU_SMALL = 64
+WV_SMALL = 256
 
 
 def _win_dims(img_size):
@@ -68,12 +75,15 @@ def _integrate_kernel(
     #   V=8192, over the 1 MB SMEM budget; flat costs the true 96 KB)
     meta_ref,  # scalar-prefetch SMEM [3V] int32 — flat (u0/8, v0/128, valid)
     vox_ref,  # VMEM (1, 1, 512) int32 — packed voxel row of this block
-    depth_t_ref,  # VMEM (Wp, Hp) f32 — TRANSPOSED (col-major) depth image
+    depth_p_ref,  # VMEM (3·Wp, Hp) bf16 — hi/mid/lo planes of the transposed
+    #   depth image (precomputed ONCE in XLA — the per-block split cost a
+    #   [WU,WV]·5 VPU pass per grid step)
     cam_ref,  # SMEM (32,) f32 — R(9) t(3) fx fy cx cy voxel mu maxw stop enable H W
     out_ref,  # VMEM (1, 1, 512) int32 — aliased to vox input
     *,
     wu: int,
     wv: int,
+    wp: int,
 ):
     WU, WV = wu, wv
     i = pl.program_id(0)
@@ -119,16 +129,14 @@ def _integrate_kernel(
     ok &= (cu >= 0) & (cu < WU) & (rv >= 0) & (rv < WV)
 
     # ---- depth tap via one-hot matmuls --------------------------------------
-    # The window is split into THREE bf16 planes (8+8+8 = 24 mantissa bits):
-    # each residual subtraction is exact in f32, each one-hot dot selects a
-    # single element (no accumulation), so hi+mid+lo reconstructs the f32
-    # depth EXACTLY at bf16 MXU speed — the kernel is bit-identical to the
-    # XLA oracle (tests/test_pallas_integrate.py asserts so).
-    win = depth_t_ref[pl.ds(u0, WU), pl.ds(v0, WV)]  # [WU, WV] f32
-    win_hi = win.astype(jnp.bfloat16)
-    r1 = win - win_hi.astype(jnp.float32)
-    win_mid = r1.astype(jnp.bfloat16)
-    win_lo = (r1 - win_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    # The depth image is split into THREE bf16 planes (8+8+8 = 24 mantissa
+    # bits) XLA-side: each residual subtraction is exact in f32, each one-hot
+    # dot selects a single element (no accumulation), so hi+mid+lo
+    # reconstructs the f32 depth EXACTLY at bf16 MXU speed — the kernel is
+    # bit-identical to the XLA oracle (tests/test_pallas_integrate.py).
+    win_hi = depth_p_ref[pl.ds(u0, WU), pl.ds(v0, WV)]
+    win_mid = depth_p_ref[pl.ds(wp + u0, WU), pl.ds(v0, WV)]
+    win_lo = depth_p_ref[pl.ds(2 * wp + u0, WU), pl.ds(v0, WV)]
     ohv = (
         jax.lax.broadcasted_iota(jnp.int32, (WV, S3), 0) == rv
     ).astype(jnp.bfloat16)  # [WV, 512]
@@ -176,9 +184,10 @@ def integrate_blocks(
     ptrs: jnp.ndarray,  # [V] int32 VBA rows, sentinel for invalid steps
     bpos: jnp.ndarray,  # [V, 3] int32 block coords
     meta: jnp.ndarray,  # [V, 3] int32 (u0/8, v0/128, valid)
-    depth_t: jnp.ndarray,  # [Wp, Hp] f32 transposed padded depth
+    depth_planes: jnp.ndarray,  # [3·Wp, Hp] bf16 hi/mid/lo transposed depth
     cam: jnp.ndarray,  # (32,) f32 camera/update params (see kernel)
     n_valid: jnp.ndarray | None = None,  # dynamic grid bound (None → static V)
+    window: Tuple[int, int] | None = None,  # (wu, wv) override (tiering)
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Run the per-visible-block fused TSDF update; returns the updated vox
@@ -188,9 +197,13 @@ def integrate_blocks(
     # TPU lowering wants the 2nd-minor block dim to equal the array's, so the
     # VBA plane is viewed as [B, 1, S3] with (1, 1, S3) row blocks
     vox3 = vox.reshape(B, 1, s3)
-    Wp, Hp = depth_t.shape
-    wu, wv = min(WU_MAX, Wp), min(WV_MAX, Hp)
-    kernel = functools.partial(_integrate_kernel, wu=wu, wv=wv)
+    Wp = depth_planes.shape[0] // 3
+    Hp = depth_planes.shape[1]
+    if window is None:
+        wu, wv = min(WU_MAX, Wp), min(WV_MAX, Hp)
+    else:
+        wu, wv = min(window[0], Wp), min(window[1], Hp)
+    kernel = functools.partial(_integrate_kernel, wu=wu, wv=wv, wp=Wp)
     # dynamic grid: steps ∝ actual visible count (the reference launches
     # <<<noVisibleEntries, 8³>>>); the traced bound goes in the grid tuple
     # itself — steps ≥ n_valid never run, so their operands are never read
@@ -202,7 +215,7 @@ def integrate_blocks(
             pl.BlockSpec(
                 (1, 1, s3), lambda i, p, b, m: (p[i], 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((Wp, Hp), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * Wp, Hp), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -219,8 +232,67 @@ def integrate_blocks(
             dimension_semantics=("arbitrary",),
         ),
     )
-    out = call(ptrs, bpos.reshape(-1), meta.reshape(-1), vox3, depth_t, cam)
+    out = call(ptrs, bpos.reshape(-1), meta.reshape(-1), vox3, depth_planes, cam)
     return out.reshape(B, s3)
+
+
+def block_proj_bounds(
+    bpos: jnp.ndarray,  # [V, 3] int32
+    pose: jnp.ndarray,
+    proj: jnp.ndarray,
+    voxel_size: float,
+    block_size: int = 8,
+):
+    """Projected pixel bounds of each block's 8 corners →
+    (umin, umax, vmin, vmax), flat [V] f32 vectors (corners behind the
+    camera flood to ±1e9). Flat-vector math: [V, 8]/[V, 3] layouts pad
+    their minor dim to 128 lanes and run ~40× under peak."""
+    fx, fy, cx, cy = proj[0], proj[1], proj[2], proj[3]
+    factor = block_size * voxel_size
+    bx = bpos[:, 0].astype(jnp.float32) * factor
+    by = bpos[:, 1].astype(jnp.float32) * factor
+    bz = bpos[:, 2].astype(jnp.float32) * factor
+    R = pose[:3, :3]
+    t = pose[:3, 3]
+    px0 = R[0, 0] * bx + R[0, 1] * by + R[0, 2] * bz + t[0]
+    py0 = R[1, 0] * bx + R[1, 1] * by + R[1, 2] * bz + t[1]
+    pz0 = R[2, 0] * bx + R[2, 1] * by + R[2, 2] * bz + t[2]
+    umin = jnp.full_like(px0, 1e9)
+    umax = jnp.full_like(px0, -1e9)
+    vmin = jnp.full_like(px0, 1e9)
+    vmax = jnp.full_like(px0, -1e9)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                co = R @ (jnp.array([dx, dy, dz], jnp.float32) * factor)
+                z = pz0 + co[2]
+                ok = z > 1e-6
+                zs = jnp.where(ok, z, 1.0)
+                u = jnp.where(ok, fx * (px0 + co[0]) / zs + cx, 1e9)
+                v = jnp.where(ok, fy * (py0 + co[1]) / zs + cy, 1e9)
+                umin = jnp.minimum(umin, u)
+                umax = jnp.maximum(umax, jnp.where(ok, u, -1e9))
+                vmin = jnp.minimum(vmin, v)
+                vmax = jnp.maximum(vmax, jnp.where(ok, v, -1e9))
+    return umin, umax, vmin, vmax
+
+
+def meta_from_bounds(
+    umin: jnp.ndarray,
+    vmin: jnp.ndarray,
+    valid: jnp.ndarray,
+    img_size: Tuple[int, int],
+    window: Tuple[int, int],
+) -> jnp.ndarray:
+    """Aligned window origins for a given window size → meta [V, 3] int32
+    (u0/8, v0/128, valid)."""
+    H, W = img_size
+    Wp = (W + 7) // 8 * 8
+    Hp = (H + 127) // 128 * 128
+    WU, WV = min(window[0], Wp), min(window[1], Hp)
+    u0d8 = jnp.clip(jnp.floor(umin / 8.0).astype(jnp.int32), 0, (Wp - WU) // 8)
+    v0d128 = jnp.clip(jnp.floor(vmin / 128.0).astype(jnp.int32), 0, (Hp - WV) // 128)
+    return jnp.stack([u0d8, v0d128, valid.astype(jnp.int32)], axis=1)
 
 
 def block_windows(
@@ -238,35 +310,17 @@ def block_windows(
     `clipped` flags on-screen blocks whose footprint exceeds that coverage
     (they fuse partially this frame — the silent-cap counter of SURVEY §5)."""
     H, W = img_size
-    Wp = (W + 7) // 8 * 8
-    Hp = (H + 127) // 128 * 128
     WU, WV = _win_dims(img_size)
-    fx, fy, cx, cy = proj[0], proj[1], proj[2], proj[3]
-    factor = block_size * voxel_size
-    bposf = bpos.astype(jnp.float32)
-    us, vs = [], []
-    for dx in (0, 1):
-        for dy in (0, 1):
-            for dz in (0, 1):
-                corner = (bposf + jnp.array([dx, dy, dz], jnp.float32)) * factor
-                pc = jnp.einsum("ij,nj->ni", pose[:3, :3], corner) + pose[:3, 3]
-                z = pc[:, 2]
-                ok = z > 1e-6
-                zsafe = jnp.where(ok, z, 1.0)
-                us.append(jnp.where(ok, fx * pc[:, 0] / zsafe + cx, 1e9))
-                vs.append(jnp.where(ok, fy * pc[:, 1] / zsafe + cy, 1e9))
-    umin = jnp.min(jnp.stack(us, -1), -1)
-    vmin = jnp.min(jnp.stack(vs, -1), -1)
-    umax = jnp.max(jnp.stack(us, -1), -1)
-    vmax = jnp.max(jnp.stack(vs, -1), -1)
-    u0d8 = jnp.clip(jnp.floor(umin / 8.0).astype(jnp.int32), 0, (Wp - WU) // 8)
-    v0d128 = jnp.clip(jnp.floor(vmin / 128.0).astype(jnp.int32), 0, (Hp - WV) // 128)
+    umin, umax, vmin, vmax = block_proj_bounds(
+        bpos, pose, proj, voxel_size, block_size
+    )
+    meta = meta_from_bounds(umin, vmin, valid, img_size, (WU, WV))
     on_screen = (umax >= 0) & (umin < W) & (vmax >= 0) & (vmin < H)
     clipped = valid & on_screen & (
         ((umax - jnp.maximum(umin, 0.0)) > (WU - 8))
         | ((vmax - jnp.maximum(vmin, 0.0)) > (WV - 128))
     )
-    return jnp.stack([u0d8, v0d128, valid.astype(jnp.int32)], axis=1), clipped
+    return meta, clipped
 
 
 def make_cam_vector(
@@ -305,3 +359,15 @@ def prep_depth_t(depth: jnp.ndarray) -> jnp.ndarray:
     Hp = (H + 127) // 128 * 128
     dt = depth.T
     return jnp.pad(dt, ((0, Wp - W), (0, Hp - H)))
+
+
+def prep_depth_planes(depth: jnp.ndarray) -> jnp.ndarray:
+    """Transposed padded depth split into stacked hi/mid/lo bf16 planes
+    [3·Wp, Hp] — 24 mantissa bits reconstruct the f32 depth exactly via
+    three one-hot dots in the kernel."""
+    dt = prep_depth_t(depth)
+    hi = dt.astype(jnp.bfloat16)
+    r1 = dt - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, mid, lo], axis=0)

@@ -31,7 +31,8 @@ re-derived for the hardware:
   — int8 SDF values and one-hots are exact in bfloat16;
 - the hit is refined by one secant step on the bracketing samples plus two
   trilinear-refinement rounds (the reference's castRay:141-150), where the 8
-  trilinear corners come from ONE stacked matmul over pre-rolled page copies.
+  corner taps fold into ONE weighted one-hot operand so a single pages-dot
+  interpolates directly.
 
 Out-of-page taps read as sdf=+1 (empty space) — identical to the reference's
 unallocated-block semantics.
@@ -91,7 +92,6 @@ def _raycast_kernel(
     keys,  # scratch VMEM (KP, 256) int32
     t_in_s,  # scratch VMEM (KP, 256) f32 — per-page per-ray slab entry
     t_out_s,  # scratch VMEM (KP, 256) f32 — per-page per-ray slab exit
-    p8,  # scratch VMEM (8·KP, 512) bf16 — corner-rolled page copies
     sems,  # DMA semaphores (2,)
     *,
     kp: int,
@@ -221,19 +221,6 @@ def _raycast_kernel(
 
     pages[:] = (pages_cur[:] >> 24).astype(jnp.bfloat16)
 
-    # corner-rolled copies for the trilinear round (roll wraps inside the
-    # block; wrapped lanes are masked to the base corner below). Mosaic only
-    # rotates 32-bit data, so roll the PACKED rows and extract sdf after.
-    for c, (dx, dy, dz) in enumerate(_CORNERS):
-        off = dx + S * dy + S2 * dz
-        if off == 0:
-            p8[pl.ds(0, kp), :] = pages[:]
-        else:
-            # left-roll by `off` == right-roll by S³ − off (pltpu.roll
-            # requires a non-negative shift)
-            rolled = pltpu.roll(pages_cur[:], S * S2 - off, 1)
-            p8[pl.ds(c * kp, kp), :] = (rolled >> 24).astype(jnp.bfloat16)
-
     # exact per-ray march range from the page slabs (replaces the reference's
     # renderingRangeImage): start at the first page entry, end at the last exit
     t_first = jnp.min(t_in_s[:], axis=0, keepdims=True)  # [1, 256]
@@ -326,6 +313,13 @@ def _raycast_kernel(
     found = foundf > 0.5
 
     # ---- trilinear refinement (reference castRay:141-150) -----------------
+    # The 8 corner taps fold into ONE weighted one-hot: a [512, 256] operand
+    # carrying each corner's trilinear weight at its in-block linear index,
+    # so one pages-dot interpolates directly (the corner-rolled-page-copies
+    # design cost two [8·KP, 512] dots + 7 rolls per tile — half the kernel's
+    # FLOPs). Corners crossing the block boundary fold their weight into the
+    # base corner (same degradation as before); bf16 weight rounding moves
+    # the refined hit by ≤ 2⁻⁸·step_scale voxels — far below the voxel grid.
     def tri_round(t_star):
         px = o_x + d_x * t_star
         py = o_y + d_y * t_star
@@ -345,20 +339,16 @@ def _raycast_kernel(
         lin = lx + S * ly + S2 * lz
         cell = _cell_key(ib_x >> 3, ib_y >> 3, ib_z >> 3, grid_dims, grid_origin)
 
-        ohl = (iota_l == lin).astype(jnp.bfloat16)
-        q8 = jax.lax.dot_general(
-            p8[:], ohl, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.DEFAULT,
-            preferred_element_type=jnp.float32,
-        )  # [8·KP, 256]
-        ohk = (keys[:] == cell).astype(jnp.float32)  # [KP, 256]
-
-        base = jnp.sum(q8[0:kp] * ohk, axis=0, keepdims=True)
-        sdf_tri = jnp.zeros((1, NRAY), jnp.float32)
-        for c, (dx, dy, dz) in enumerate(_CORNERS):
-            tap_c = jnp.sum(q8[c * kp:(c + 1) * kp] * ohk, axis=0, keepdims=True)
-            # rolled pages wrap inside the block: a corner that leaves the
-            # block reads garbage — degrade those lanes to the base corner
+        ohl_w = jnp.zeros((512, NRAY), jnp.float32)
+        base_w = jnp.zeros((1, NRAY), jnp.float32)
+        for dx, dy, dz in _CORNERS:
+            wx = rx if dx else (1.0 - rx)
+            wy = ry if dy else (1.0 - ry)
+            wz = rz if dz else (1.0 - rz)
+            w_c = wx * wy * wz
+            if (dx, dy, dz) == (0, 0, 0):
+                base_w = base_w + w_c
+                continue
             ok = jnp.ones((1, NRAY), bool)
             if dx:
                 ok &= lx < S - 1
@@ -366,12 +356,21 @@ def _raycast_kernel(
                 ok &= ly < S - 1
             if dz:
                 ok &= lz < S - 1
-            tap_c = jnp.where(ok, tap_c, base)
-            wx = rx if dx else (1.0 - rx)
-            wy = ry if dy else (1.0 - ry)
-            wz = rz if dz else (1.0 - rz)
-            sdf_tri = sdf_tri + wx * wy * wz * tap_c
-        matched = jnp.sum(ohk, axis=0, keepdims=True) > 0.0
+            lin_c = lin + dx + S * dy + S2 * dz
+            ohl_w = ohl_w + jnp.where(
+                (iota_l == lin_c) & ok, w_c, 0.0
+            )
+            base_w = base_w + jnp.where(ok, 0.0, w_c)
+        ohl_w = ohl_w + jnp.where(iota_l == lin, base_w, 0.0)
+
+        q = jax.lax.dot_general(
+            pages[:], ohl_w.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )  # [KP, 256]
+        ohk = keys[:] == cell  # [KP, 256]
+        sdf_tri = jnp.sum(jnp.where(ohk, q, 0.0), axis=0, keepdims=True)
+        matched = jnp.sum(ohk.astype(jnp.float32), axis=0, keepdims=True) > 0.0
         sdf_tri = jnp.where(matched, sdf_tri * (1.0 / 128.0), 0.0)
         return t_star + sdf_tri * step_scale, sdf_tri
 
@@ -449,7 +448,6 @@ def raycast_tiles(
             pltpu.VMEM((kp, NRAY), jnp.int32),
             pltpu.VMEM((kp, NRAY), jnp.float32),
             pltpu.VMEM((kp, NRAY), jnp.float32),
-            pltpu.VMEM((8 * kp, s3), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -600,7 +598,9 @@ def build_page_lists(
         jnp.arange(NP, dtype=jnp.int32)[None, :], tile_id.shape
     ).reshape(-1)
     n_raw = skey.shape[0]
-    cap = min(n_raw, 16384)
+    # sized for dense-visibility configs: 5 mm voxels see ~8.5 k blocks ×
+    # ~3 tiles ≈ 25 k pairs — cap must stay above that or near pages drop
+    cap = min(n_raw, max(16384, (nt * kp) // 2))
     n_pairs = jnp.sum(in_box).astype(jnp.int32)
     sel = jnp.nonzero(in_box.reshape(-1), size=cap, fill_value=n_raw)[0]
     sel_c = jnp.clip(sel, 0, n_raw - 1)

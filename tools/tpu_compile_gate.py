@@ -58,14 +58,21 @@ def gate_integrate():
     valid = jnp.ones((V,), bool)
     meta, _clipped = ik.block_windows(bpos, valid, pose, proj, img, 0.01)
     cam = ik.make_cam_vector(pose, proj, 0.01, 0.04, 100, False, True, img)
-    depth_t = ik.prep_depth_t(depth)
-    out = ik.integrate_blocks(vox, ptrs, bpos, meta, depth_t, cam)
+    depth_p = ik.prep_depth_planes(depth)
+    out = ik.integrate_blocks(vox, ptrs, bpos, meta, depth_p, cam)
     jax.block_until_ready(out)
-    # dynamic grid variant (n_valid traced)
+    # dynamic grid variant (n_valid traced) + the small-window tier
     out2 = jax.jit(
-        lambda v, n: ik.integrate_blocks(v, ptrs, bpos, meta, depth_t, cam, n_valid=n)
+        lambda v, n: ik.integrate_blocks(v, ptrs, bpos, meta, depth_p, cam, n_valid=n)
     )(vox, jnp.int32(1200))
     jax.block_until_ready(out2)
+    out3 = jax.jit(
+        lambda v, n: ik.integrate_blocks(
+            v, ptrs, bpos, meta, depth_p, cam, n_valid=n,
+            window=(ik.WU_SMALL, ik.WV_SMALL),
+        )
+    )(vox, jnp.int32(1200))
+    jax.block_until_ready(out3)
 
 
 def gate_raycast():

@@ -77,11 +77,15 @@ def teddy_1cm_settings() -> Settings:
                           view_frustum_max=3.0),
         hashing=VoxelBlockHashParams(),
         tracking=TrackingParams(),
+        alloc_subsample=6,  # safe_alloc_stride allows 7 at 8 cm blocks / 3 m
     )
 
 
 def run_config(settings: Settings):
+    from infinitam_tpu.config import assert_alloc_stride_safe
+
     calib = default_calib(IMG[1], IMG[0])
+    assert_alloc_stride_safe(settings, calib.intrinsics_d.fx)
     proj = jnp.asarray(calib.intrinsics_d.vector)
     src = synth.SyntheticSource(calib, n_frames=N_FRAMES, img_size=IMG)
     frames = [src.get_images() for _ in range(N_FRAMES)]
@@ -134,7 +138,39 @@ def run_config(settings: Settings):
 def main():
     import os
 
-    only = os.environ.get("ITPU_BENCH_CONFIG", "")  # dev: "5mm" | "1cm"
+    only = os.environ.get("ITPU_BENCH_CONFIG", "")  # dev: "5mm" | "1cm" | "swap"
+    if only == "swap":
+        # swap-tier overhead check (dev): per-frame-dispatch fps with and
+        # without the host swap exchange at the 1 cm operating point. Both
+        # paths pay the same axon per-dispatch overhead, so the RATIO
+        # isolates the swap tier's cost (VERDICT r3 item 8).
+        from infinitam_tpu.config import SwappingMode
+        from infinitam_tpu.engine.main_engine import MainEngine
+
+        calib = default_calib(IMG[1], IMG[0])
+        res = {}
+        for tag, mode in (("noswap", SwappingMode.DISABLED),
+                          ("swap", SwappingMode.ENABLED)):
+            settings = teddy_1cm_settings().replace(swapping_mode=mode)
+            eng = MainEngine(settings, calib, IMG)
+            src = synth.SyntheticSource(calib, n_frames=N_FRAMES, img_size=IMG)
+            frames = [src.get_images() for _ in range(N_FRAMES)]
+            for d, _r, _g in frames[:4]:  # warm both programs
+                eng.process_frame(metric_depth=d)
+            t0 = time.perf_counter()
+            for d, _r, _g in frames[4:]:
+                eng.process_frame(metric_depth=d)
+            import jax as _j
+
+            _j.block_until_ready(eng.tracking_state.pose)
+            res[tag] = (N_FRAMES - 4) / (time.perf_counter() - t0)
+        ratio = res["swap"] / res["noswap"]
+        print(json.dumps({"metric": "swap-mode fps ratio (dev)",
+                          "value": round(ratio, 3), "unit": "x",
+                          "vs_baseline": round(ratio / 0.85, 3),
+                          "fps_noswap": round(res["noswap"], 2),
+                          "fps_swap": round(res["swap"], 2)}))
+        return
     if only == "1cm":
         fps_1cm, ate_1cm, diag_1cm = run_config(teddy_1cm_settings())
         print(f"diag(1cm, last frame): {diag_1cm}", file=sys.stderr)

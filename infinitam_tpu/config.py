@@ -147,9 +147,10 @@ class Settings:
     use_block_grid: bool = True  # raycast through the dense block-index cache
     # allocation-ray pixel stride (1 = reference-faithful every-pixel march;
     # s cuts the candidate gather/scatter cost s²× with near-identical
-    # coverage — an 8 cm block spans ≥14 px even at the 3 m frustum far
-    # plane, so stride 4 still touches every surface block — see
-    # hash_pipeline.allocate_scene_from_depth)
+    # coverage). The SAFE stride depends on geometry: a block must span ≥2
+    # strides at the far plane so every surface block is tapped — use
+    # safe_alloc_stride() to derive it instead of guessing (a 8 cm block
+    # spans ≥14 px at 3 m with f=525 → stride ≤7; 4 cm blocks → ≤3).
     alloc_subsample: int = 4
     # hierarchical raycast: coarse pass at 1/factor res bounds the full-res
     # march (1 disables; requires image dims divisible by the factor). With
@@ -161,7 +162,12 @@ class Settings:
     # the XLA oracle march in ops/raycast.py.
     use_pallas_raycast: bool = True
     raycast_t_march: int = 64  # static bound on adaptive march steps per ray
-    raycast_pages_per_tile: int = 48  # KP: voxel blocks resident per 16×16 tile
+    # KP: voxel blocks resident per 16×16 tile. March cost scales ~linearly
+    # with KP. Measured distributions (tools/page_stats.py, synthetic scene):
+    # 1 cm voxels mean 12 / max 26 pages per tile; 5 mm mean 21 / max 49
+    # (bench sets 64 there). Tiles beyond KP drop their FARTHEST pages
+    # (near-first slot order) — degradation, not corruption.
+    raycast_pages_per_tile: int = 32
     # NP: visible blocks considered by the page-list builder (visible_ids is
     # compacted, so this slices the nearest-allocated prefix; pages stream
     # from HBM in the kernel so there is NO VMEM pool limit — this only caps
@@ -201,6 +207,28 @@ class Settings:
 
     def replace(self, **kw) -> "Settings":
         return dataclasses.replace(self, **kw)
+
+
+def safe_alloc_stride(settings: Settings, focal_px: float) -> int:
+    """Largest allocation-ray stride that still guarantees ≥2 taps across a
+    block's projected footprint at the FAR frustum plane (ADVICE r3: derive
+    the stride from voxel_size·block_size, focal length, and
+    view_frustum_max instead of a hard-coded comment)."""
+    block_m = settings.scene.voxel_size * settings.hashing.block_size
+    min_footprint_px = focal_px * block_m / settings.scene.view_frustum_max
+    return max(1, int(min_footprint_px // 2))
+
+
+def assert_alloc_stride_safe(settings: Settings, focal_px: float) -> None:
+    safe = safe_alloc_stride(settings, focal_px)
+    if settings.alloc_subsample > safe:
+        raise ValueError(
+            f"alloc_subsample={settings.alloc_subsample} exceeds the safe "
+            f"stride {safe} for voxel {settings.scene.voxel_size} m × block "
+            f"{settings.hashing.block_size} at f={focal_px:.0f} px, far plane "
+            f"{settings.scene.view_frustum_max} m — surface blocks between "
+            "allocation rays would be silently missed"
+        )
 
 
 def tiny_test_settings() -> Settings:

@@ -128,13 +128,18 @@ class MainEngine:
             self.vol, self.swap_states = sw.swap_in(
                 self.vol, self.swap_states, self.global_cache, self.settings
             )
-            self.vol, self.swap_states = sw.swap_out(
-                self.vol, self.swap_states, self.render_state, self.global_cache, self.settings
+            # swap-latency hiding (SURVEY §7): run the eviction's DEVICE half,
+            # dispatch the raycast prepare (async), THEN do the host-store
+            # scatter — the D2H readback and numpy writes overlap the prepare
+            # program instead of serializing the frame.
+            self.vol, self.swap_states, host_job = sw.swap_out_device(
+                self.vol, self.swap_states, self.render_state, self.settings
             )
             self.tracking_state = hp.step_prepare(
                 self.vol, self.render_state, self.tracking_state, view, pose, tr,
                 self.proj, self.settings, self.proj_rgb, self.rgb_to_depth,
             )
+            host_job(self.global_cache)
             diag = {
                 "f": float(d.f),
                 "num_valid": int(d.num_valid),

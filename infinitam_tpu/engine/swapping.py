@@ -291,6 +291,37 @@ def swap_in(
     return vol, swap_states
 
 
+def swap_out_device(
+    vol: HashVolume,
+    swap_states: jnp.ndarray,
+    render_state: RenderStateVH,
+    settings: Settings,
+):
+    """Device half of SaveToGlobalMemory: evict + clear + free-list return.
+    Returns (vol, swap_states, host_job) — host_job is a closure that
+    completes the host-store scatter. Call it AFTER dispatching the next
+    device program (raycast prepare): the D2H readback and the numpy scatter
+    then overlap device compute instead of sitting on the critical path
+    (SURVEY §7 swap-latency hiding)."""
+    vol, swap_states, ids, buf_sdf, buf_w, buf_clr, buf_wc, n = evict_blocks(
+        vol, swap_states, render_state.visible_type, settings
+    )
+
+    def host_job(cache: GlobalCache) -> None:
+        n_ = int(n)
+        if n_ == 0:
+            return
+        ids_np = np.asarray(ids[:n_])
+        cache.stored_sdf[ids_np] = np.asarray(buf_sdf[:n_])
+        cache.stored_w[ids_np] = np.asarray(buf_w[:n_])
+        if buf_clr is not None and cache.stored_clr is not None:
+            cache.stored_clr[ids_np] = np.asarray(buf_clr[:n_])
+            cache.stored_wc[ids_np] = np.asarray(buf_wc[:n_])
+        cache.has_stored[ids_np] = True
+
+    return vol, swap_states, host_job
+
+
 def swap_out(
     vol: HashVolume,
     swap_states: jnp.ndarray,
@@ -299,19 +330,12 @@ def swap_out(
     settings: Settings,
 ) -> Tuple[HashVolume, jnp.ndarray]:
     """SaveToGlobalMemory: evict invisible device-newest blocks to the host
-    store."""
-    vol, swap_states, ids, buf_sdf, buf_w, buf_clr, buf_wc, n = evict_blocks(
-        vol, swap_states, render_state.visible_type, settings
+    store (synchronous variant; MainEngine uses swap_out_device + deferred
+    host_job to overlap the host scatter with the raycast prepare)."""
+    vol, swap_states, host_job = swap_out_device(
+        vol, swap_states, render_state, settings
     )
-    n = int(n)
-    if n > 0:
-        ids_np = np.asarray(ids[:n])
-        cache.stored_sdf[ids_np] = np.asarray(buf_sdf[:n])
-        cache.stored_w[ids_np] = np.asarray(buf_w[:n])
-        if buf_clr is not None and cache.stored_clr is not None:
-            cache.stored_clr[ids_np] = np.asarray(buf_clr[:n])
-            cache.stored_wc[ids_np] = np.asarray(buf_wc[:n])
-        cache.has_stored[ids_np] = True
+    host_job(cache)
     return vol, swap_states
 
 

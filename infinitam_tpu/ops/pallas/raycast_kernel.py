@@ -384,7 +384,7 @@ def _raycast_kernel(
     out_ref[0, 4:5, :] = t_star
     out_ref[0, 5:6, :] = sdf_fin
     out_ref[0, 6:7, :] = sdf_last
-    out_ref[0, 7:8, :] = zero
+    out_ref[0, 7:8, :] = zero + _j.astype(jnp.float32)  # march steps (diag)
 
 
 def make_cam_scalars(

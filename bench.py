@@ -75,7 +75,9 @@ def teddy_1cm_settings() -> Settings:
     return Settings(
         scene=SceneParams(voxel_size=0.01, mu=0.04, view_frustum_min=0.35,
                           view_frustum_max=3.0),
-        hashing=VoxelBlockHashParams(),
+        # ~2 k visible blocks at 1 cm — an 8 k visible-list cap keeps the
+        # compaction/recheck passes (cost ∝ static cap) at 4× headroom
+        hashing=VoxelBlockHashParams(max_visible_blocks=0x2000),
         tracking=TrackingParams(),
         alloc_subsample=6,  # safe_alloc_stride allows 7 at 8 cm blocks / 3 m
     )

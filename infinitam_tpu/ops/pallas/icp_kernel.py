@@ -106,7 +106,7 @@ def prep_maps(points_map: jnp.ndarray, normals_map: jnp.ndarray) -> jnp.ndarray:
 
 
 def _icp_kernel(
-    meta_ref,  # scalar-prefetch SMEM [2·NT] int32 — window origins (u0, v0)
+    dims_ref,  # scalar-prefetch SMEM [2] int32 — ((Wp−WU)/8, (Hp−WV)/128)
     depth_ref,  # VMEM (1, 1, 256) f32 — view depth tile
     planes_ref,  # VMEM (16·Wp, Hp) bf16 — resident hi/lo map planes
     cam_ref,  # SMEM (40,) f32 — Rinv t Rs ts vproj sproj distThresh W H
@@ -119,11 +119,6 @@ def _icp_kernel(
 ):
     WU, WV = wu, wv
     i = pl.program_id(0)
-    # meta stores (u0/8, v0/128): the in-kernel multiply makes the slice
-    # offsets PROVABLY 8-/128-aligned (Mosaic rejects a bare traced offset:
-    # "cannot statically prove that index ... is a multiple of 8")
-    u0 = meta_ref[2 * i] * 8
-    v0 = meta_ref[2 * i + 1] * 128
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, NRAY), 1)
     px_ = lane & (TILE - 1)
@@ -166,6 +161,21 @@ def _icp_kernel(
     vf = jnp.floor(vc)
     fu = uc - uf
     fv = vc - vf
+
+    # window origin from THIS TILE's own projections (the per-tile min over
+    # valid lanes), computed in-kernel — the XLA-side variant re-projected
+    # the whole image every GN iteration. The shift-multiply makes the slice
+    # offsets PROVABLY 8-/128-aligned (Mosaic rejects bare traced offsets).
+    big = jnp.float32(1e9)
+    umin = jnp.min(jnp.where(valid, uc, big))
+    vmin = jnp.min(jnp.where(valid, vc, big))
+    umin = jnp.where(umin > big * 0.5, 0.0, umin)
+    vmin = jnp.where(vmin > big * 0.5, 0.0, vmin)
+    u0d8 = jnp.clip((umin.astype(jnp.int32) - 8) >> 3, 0, dims_ref[0])
+    v0d128 = jnp.clip((vmin.astype(jnp.int32) - 16) >> 7, 0, dims_ref[1])
+    u0 = pl.multiple_of(u0d8 * 8, 8)
+    v0 = pl.multiple_of(v0d128 * 128, 128)
+
     cu = uf.astype(jnp.int32) - u0  # window column (map u)
     rv = vf.astype(jnp.int32) - v0  # window lane (map v)
     # projection outside the static window → invalid this iteration
@@ -248,55 +258,6 @@ def tileize(img: jnp.ndarray, pad_value: float = 0.0) -> jnp.ndarray:
     )
 
 
-def _window_meta(
-    depth: jnp.ndarray,  # [h, w] level-l depth
-    vproj: jnp.ndarray,
-    sproj: jnp.ndarray,
-    inv_pose: jnp.ndarray,
-    scene_pose: jnp.ndarray,
-    map_size: Tuple[int, int],
-    wu: int,
-    wv: int,
-) -> jnp.ndarray:
-    """Per-tile window origins [2·NT] int32 from the current pose estimate:
-    project every valid pixel, take the per-tile (umin, vmin), anchor the
-    aligned window just below it."""
-    h, w = depth.shape
-    Wp, Hp = _plane_dims(map_size)
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
-    valid = depth > 1e-8
-    d = jnp.where(valid, depth, 1.0)
-    pc = jnp.stack(
-        [d * (xs - vproj[2]) / vproj[0], d * (ys - vproj[3]) / vproj[1], d], -1
-    )
-    M = scene_pose @ inv_pose
-    ps = jnp.einsum("ij,hwj->hwi", M[:3, :3], pc) + M[:3, 3]
-    z = ps[..., 2]
-    valid &= z > 0
-    zsafe = jnp.where(valid, z, 1.0)
-    u = sproj[0] * ps[..., 0] / zsafe + sproj[2]
-    v = sproj[1] * ps[..., 1] / zsafe + sproj[3]
-    # anchor on pixels that pass the image-bounds gate (an off-screen pixel
-    # must not drag the window away from the on-screen ones)
-    H_m, W_m = map_size
-    valid &= (u >= 0) & (u <= W_m - 2) & (v >= 0) & (v <= H_m - 2)
-    big = jnp.float32(1e9)
-    umin = tileize(jnp.where(valid, u, big), pad_value=1e9).min(axis=1)
-    vmin = tileize(jnp.where(valid, v, big), pad_value=1e9).min(axis=1)
-    any_valid = umin < big
-    # stored as (u0/8, v0/128) so the kernel's multiply proves alignment
-    u0d8 = jnp.clip(
-        (jnp.floor(umin).astype(jnp.int32) - 8) // 8, 0, (Wp - wu) // 8
-    )
-    v0d128 = jnp.clip(
-        (jnp.floor(vmin).astype(jnp.int32) - 16) // 128, 0, (Hp - wv) // 128
-    )
-    u0d8 = jnp.where(any_valid, u0d8, 0)
-    v0d128 = jnp.where(any_valid, v0d128, 0)
-    return jnp.stack([u0d8, v0d128], axis=1).reshape(-1)
-
-
 def residuals_tiles(
     depth: jnp.ndarray,  # [h, w] level-l depth
     vproj: jnp.ndarray,  # level-l view intrinsics
@@ -318,9 +279,7 @@ def residuals_tiles(
     th = (h + TILE - 1) // TILE
     nt = th * tw
 
-    meta = _window_meta(
-        depth, vproj, sproj, inv_pose, scene_pose, map_size, wu, wv
-    )
+    dims = jnp.array([(Wp - wu) // 8, (Hp - wv) // 128], jnp.int32)
     tiles = tileize(depth).reshape(nt, 1, NRAY)
     cam = jnp.concatenate(
         [
@@ -355,7 +314,7 @@ def residuals_tiles(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(meta, tiles, planes, cam)
+    )(dims, tiles, planes, cam)
 
     b = out[:, 0, :].reshape(-1)
     A = out[:, 1:7, :].transpose(0, 2, 1).reshape(-1, 6)

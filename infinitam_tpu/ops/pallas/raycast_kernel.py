@@ -201,25 +201,30 @@ def _raycast_kernel(
             pl.ds((slot * kp + k) * 8 + jax.lax.rem(row, 8), 1), :
         ]
         keys[pl.ds(k, 1), :] = jnp.full((1, NRAY), key, jnp.int32)
-        # decode the cell key → block coords → voxel AABB aligned with the
-        # tap's nearest-voxel rounding (floor(p+0.5)): [8b−0.5, 8b+7.5)
-        kc = jnp.maximum(key, 0)
-        bz = kc % gz_d + oz_g
-        by = (kc // gz_d) % gy_d + oy_g
-        bx = kc // (gz_d * gy_d) + ox_g
-        lo_x = (bx * S).astype(jnp.float32) - 0.5
-        lo_y = (by * S).astype(jnp.float32) - 0.5
-        lo_z = (bz * S).astype(jnp.float32) - 0.5
-        t0x, t1x = slab_axis(lo_x, lo_x + S, o_x, inv_dx)
-        t0y, t1y = slab_axis(lo_y, lo_y + S, o_y, inv_dy)
-        t0z, t1z = slab_axis(lo_z, lo_z + S, o_z, inv_dz)
-        t_in = jnp.maximum(jnp.maximum(t0x, t0y), jnp.maximum(t0z, 0.0))
-        t_out = jnp.minimum(jnp.minimum(t1x, t1y), jnp.minimum(t1z, lray))
-        hit = (key >= 0) & (t_in <= t_out)
-        t_in_s[pl.ds(k, 1), :] = jnp.where(hit, t_in, _BIG)
-        t_out_s[pl.ds(k, 1), :] = jnp.where(hit, t_out, -_BIG)
 
     pages[:] = (pages_cur[:] >> 24).astype(jnp.bfloat16)
+
+    # per-page ray slabs, VECTORIZED over pages: decode the cell keys from
+    # the broadcast keys scratch and run the whole slab test as [KP, 256]
+    # VPU ops (~30 instructions) — the unrolled per-page version cost ~25
+    # serial [1, 256] ops × KP per tile. AABBs align with the tap's
+    # nearest-voxel rounding (floor(p+0.5)): [8b−0.5, 8b+7.5).
+    kall = keys[:]  # [KP, 256]
+    kc = jnp.maximum(kall, 0)
+    bz_p = kc % gz_d + oz_g
+    by_p = (kc // gz_d) % gy_d + oy_g
+    bx_p = kc // (gz_d * gy_d) + ox_g
+    lo_x = (bx_p * S).astype(jnp.float32) - 0.5
+    lo_y = (by_p * S).astype(jnp.float32) - 0.5
+    lo_z = (bz_p * S).astype(jnp.float32) - 0.5
+    t0x, t1x = slab_axis(lo_x, lo_x + S, o_x, inv_dx)
+    t0y, t1y = slab_axis(lo_y, lo_y + S, o_y, inv_dy)
+    t0z, t1z = slab_axis(lo_z, lo_z + S, o_z, inv_dz)
+    t_in = jnp.maximum(jnp.maximum(t0x, t0y), jnp.maximum(t0z, 0.0))
+    t_out = jnp.minimum(jnp.minimum(t1x, t1y), jnp.minimum(t1z, lray))
+    hit = (kall >= 0) & (t_in <= t_out)
+    t_in_s[:] = jnp.where(hit, t_in, _BIG)
+    t_out_s[:] = jnp.where(hit, t_out, -_BIG)
 
     # exact per-ray march range from the page slabs (replaces the reference's
     # renderingRangeImage): start at the first page entry, end at the last exit

@@ -119,16 +119,27 @@ def test_reduction_matches_oracle():
     np.testing.assert_allclose(gh_k.hessian, gh_o.hessian, rtol=5e-2, atol=5e-2)
 
 
-def test_window_meta_anchors():
-    """Windows anchor below the per-tile (umin, vmin) of in-bounds pixels."""
+def test_window_follows_displaced_pose():
+    """The in-kernel window origin (per-tile min of the tile's OWN projected
+    pixels) must track a displaced pose: residuals stay valid when the
+    projection shifts by tens of pixels."""
     depth, proj, pts, nrm = make_scene(seed=5)
     H, W = depth.shape
-    meta = ik._window_meta(
-        depth, proj, proj, jnp.eye(4), jnp.eye(4), (H, W), *ik.window_size(0, (H, W))
+    planes = ik.prep_maps(pts, nrm)
+    # a pose that shifts the projection substantially
+    pose = np.eye(4, dtype=np.float32)
+    pose[0, 3] = 0.25  # 0.25 m lateral → ~13 px at f=80, z=1.5
+    inv_pose = se3.invert(jnp.asarray(pose))
+    b, A, valid = ik.residuals_tiles(
+        depth, proj, planes, proj, inv_pose, jnp.eye(4), 0.1 * 0.1,
+        (H, W), 0, interpret=True,
     )
-    m = np.asarray(meta).reshape(-1, 2)  # stored as (u0/8, v0/128)
-    wu, wv = ik.window_size(0, (H, W))
-    Wp, Hp = ik._plane_dims((H, W))
-    assert (m >= 0).all()
-    assert (m[:, 0] * 8 + wu <= Wp).all()
-    assert (m[:, 1] * 128 + wv <= Hp).all()
+    b0, A0, valid0, _ = icp.compute_residuals(
+        depth, proj, pts, nrm, proj, inv_pose, jnp.eye(4), 0.1 * 0.1
+    )
+    vk = untile_to_rowmajor(valid, H, W)
+    vo = np.asarray(valid0).reshape(H, W)
+    # the kernel may lose rows beyond its window budget, but must keep the
+    # overwhelming majority of the oracle's valid set
+    keep = (vk & vo).sum() / max(vo.sum(), 1)
+    assert keep > 0.95, f"kernel kept only {keep:.3f} of oracle-valid pixels"

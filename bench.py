@@ -79,7 +79,10 @@ def teddy_1cm_settings() -> Settings:
         # compaction/recheck passes (cost ∝ static cap) at 4× headroom
         hashing=VoxelBlockHashParams(max_visible_blocks=0x2000),
         tracking=TrackingParams(),
-        alloc_subsample=6,  # safe_alloc_stride allows 7 at 8 cm blocks / 3 m
+        # safe_alloc_stride allows 7, but the coarser allocation sampling
+        # measurably degrades map completeness at silhouettes (ATE 8.9 →
+        # 11.1 mm at stride 6); stay at the denser stride
+        alloc_subsample=4,
     )
 
 

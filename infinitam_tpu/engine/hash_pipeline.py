@@ -458,6 +458,8 @@ def integrate_into_scene_pallas(
     settings: Settings,
     enable: jnp.ndarray | bool = True,
     interpret: bool = False,
+    proj_rgb: jnp.ndarray | None = None,
+    rgb_to_depth: jnp.ndarray | None = None,
 ) -> HashVolume:
     """Flagship TPU integration: one Pallas grid step per visible block with
     in-place packed-row write-back (see ops/pallas/integrate_kernel.py;
@@ -489,31 +491,65 @@ def integrate_into_scene_pallas(
     fp_v = jnp.minimum(vmax, float(H)) - jnp.maximum(vmin, 0.0)
     small = valid & (fp_u <= ik.WU_SMALL - 8) & (fp_v <= ik.WV_SMALL - 128)
 
-    cam = ik.make_cam_vector(
-        pose, proj, sp.voxel_size, sp.mu, sp.max_w,
-        sp.stop_integrating_at_max_w, enable, img_size,
+    with_color = (
+        settings.use_color and view.rgb is not None and vol.vox_rgb is not None
     )
+    M_rgb = None
+    rgb_p = None
+    umin_r = vmin_r = None
+    if with_color:
+        # reference: M_rgb = trafo_rgb_to_depth.calib_inv * M_d
+        M_rgb = (
+            se3.invert(rgb_to_depth) @ pose if rgb_to_depth is not None else pose
+        )
+        pr = proj_rgb if proj_rgb is not None else proj
+        rgb_p = ik.prep_rgb_planes(view.rgb)
+        umin_r, _umaxr, vmin_r, _vmaxr = ik.block_proj_bounds(
+            bpos, M_rgb, pr, sp.voxel_size, hp.block_size
+        )
+        cam = ik.make_cam_vector(
+            pose, proj, sp.voxel_size, sp.mu, sp.max_w,
+            sp.stop_integrating_at_max_w, enable, img_size,
+            M_rgb=M_rgb, proj_rgb=pr,
+        )
+    else:
+        cam = ik.make_cam_vector(
+            pose, proj, sp.voxel_size, sp.mu, sp.max_w,
+            sp.stop_integrating_at_max_w, enable, img_size,
+        )
     depth_p = ik.prep_depth_planes(view.depth)
 
     vox = vol.vox
+    vox_rgb = vol.vox_rgb
     for mask, window in ((small, (ik.WU_SMALL, ik.WV_SMALL)), (valid & ~small, None)):
         idx = jnp.nonzero(mask, size=V, fill_value=-1)[0]
         idc = jnp.clip(idx, 0, V - 1)
         sel = idx >= 0
         ptrs_t = jnp.where(sel, ptrs[idc], sent).astype(jnp.int32)
         bpos_t = bpos[idc]
-        meta_t = ik.meta_from_bounds(
-            umin[idc], vmin[idc], sel, img_size,
-            window if window is not None else ik._win_dims(img_size),
-        )
+        win_dims = window if window is not None else ik._win_dims(img_size)
+        meta_t = ik.meta_from_bounds(umin[idc], vmin[idc], sel, img_size, win_dims)
+        kw = {}
+        if with_color:
+            kw = dict(
+                vox_rgb=vox_rgb,
+                meta_rgb=ik.meta_from_bounds(
+                    umin_r[idc], vmin_r[idc], sel, view.rgb.shape[:2], win_dims
+                ),
+                rgb_planes=rgb_p,
+            )
         # dynamic grid: steps ∝ actual tier population, like the reference's
         # <<<noVisibleEntries, 8³>>> launch (_CUDA.cu:206)
-        vox = ik.integrate_blocks(
+        out = ik.integrate_blocks(
             vox, ptrs_t, bpos_t, meta_t, depth_p, cam,
             n_valid=jnp.sum(mask).astype(jnp.int32), window=window,
-            interpret=interpret,
+            interpret=interpret, **kw,
         )
-    return vol._replace(vox=vox)
+        if with_color:
+            vox, vox_rgb = out
+        else:
+            vox = out
+    return vol._replace(vox=vox, vox_rgb=vox_rgb)
 
 
 def _pallas_integrate_available(view: View, settings: Settings) -> bool:
@@ -521,7 +557,6 @@ def _pallas_integrate_available(view: View, settings: Settings) -> bool:
 
     return (
         settings.use_pallas_integrate
-        and not (settings.use_color and view.rgb is not None)
         and settings.hashing.block_size == 8
         and _jax.default_backend() == "tpu"
     )
@@ -543,7 +578,8 @@ def integrate_into_scene(
     `enable=False` (dynamic) makes the update a no-op (divergence policy)."""
     if _pallas_integrate_available(view, settings):
         return integrate_into_scene_pallas(
-            vol, render_state, view, pose, proj, settings, enable=enable
+            vol, render_state, view, pose, proj, settings, enable=enable,
+            proj_rgb=proj_rgb, rgb_to_depth=rgb_to_depth,
         )
     hp = settings.hashing
     sp = settings.scene

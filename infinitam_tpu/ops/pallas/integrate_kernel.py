@@ -74,17 +74,20 @@ def _integrate_kernel(
     #   (flat 1-D: a [V,3] operand lane-pads in SMEM to [V,128]·4B — 4 MB at
     #   V=8192, over the 1 MB SMEM budget; flat costs the true 96 KB)
     meta_ref,  # scalar-prefetch SMEM [3V] int32 — flat (u0/8, v0/128, valid)
-    vox_ref,  # VMEM (1, 1, 512) int32 — packed voxel row of this block
-    depth_p_ref,  # VMEM (3·Wp, Hp) bf16 — hi/mid/lo planes of the transposed
-    #   depth image (precomputed ONCE in XLA — the per-block split cost a
-    #   [WU,WV]·5 VPU pass per grid step)
-    cam_ref,  # SMEM (32,) f32 — R(9) t(3) fx fy cx cy voxel mu maxw stop enable H W
-    out_ref,  # VMEM (1, 1, 512) int32 — aliased to vox input
-    *,
+    *refs,  # vox, depth_planes, cam [, meta_rgb, vox_rgb, rgb_planes],
+    #   out [, out_rgb] — see _integrate_impl
     wu: int,
     wv: int,
     wp: int,
+    with_color: bool = False,
+    wpr: int = 0,
 ):
+    if with_color:
+        (metargb_ref, vox_ref, depth_p_ref, cam_ref, voxrgb_ref, rgb_p_ref,
+         out_ref, outrgb_ref) = refs
+    else:
+        vox_ref, depth_p_ref, cam_ref, out_ref = refs
+        metargb_ref = voxrgb_ref = rgb_p_ref = outrgb_ref = None
     WU, WV = wu, wv
     i = pl.program_id(0)
 
@@ -178,6 +181,74 @@ def _integrate_kernel(
     new_packed = ((sdf_q & 0xFFFF) << 16) | ((new_w & 0xFF) << 8)
     out_ref[0, :, :] = jnp.where(do, new_packed, packed)
 
+    if not with_color:
+        return
+
+    # ---- color running average (reference: computeUpdatedVoxelColorInfo +
+    # the |eta/mu| <= 0.25 near-surface gate of ComputeUpdatedVoxelInfo<true>)
+    gate_c = do & ~((eta > mu) | (jnp.abs(eta / mu) > 0.25))
+
+    # project into the rgb camera (M_rgb, rgb intrinsics from cam[32:48])
+    r_x = cam_ref[32] * px + cam_ref[33] * py + cam_ref[34] * pz + cam_ref[41]
+    r_y = cam_ref[35] * px + cam_ref[36] * py + cam_ref[37] * pz + cam_ref[42]
+    r_z = cam_ref[38] * px + cam_ref[39] * py + cam_ref[40] * pz + cam_ref[43]
+    zr = jnp.where(r_z == 0.0, 1e-6, r_z)
+    ur = cam_ref[44] * r_x / zr + cam_ref[46]
+    vr = cam_ref[45] * r_y / zr + cam_ref[47]
+    gate_c &= (ur >= 1.0) & (ur <= img_w - 2.0) & (vr >= 1.0) & (vr <= img_h - 2.0)
+
+    urc = jnp.clip(ur, 0.0, img_w - 2.0)
+    vrc = jnp.clip(vr, 0.0, img_h - 2.0)
+    uf = jnp.floor(urc)
+    vf = jnp.floor(vrc)
+    fu_ = urc - uf
+    fv_ = vrc - vf
+    u0r = metargb_ref[3 * i] * 8
+    v0r = metargb_ref[3 * i + 1] * 128
+    cur = uf.astype(jnp.int32) - u0r
+    rvr = vf.astype(jnp.int32) - v0r
+    gate_c &= (cur >= 0) & (cur <= WU - 2) & (rvr >= 0) & (rvr <= WV - 2)
+    gate_c &= metargb_ref[3 * i + 2] > 0
+    cur = jnp.clip(cur, 0, WU - 2)
+    rvr = jnp.clip(rvr, 0, WV - 2)
+
+    # bilinear rgb tap: v-direction weighted two-hot (bf16; the rgb planes
+    # hold 0..255 integer values — exact in bf16), u-direction hat weights
+    iv = jax.lax.broadcasted_iota(jnp.int32, (WV, S3), 0)
+    fv_b = jnp.broadcast_to(fv_, (WV, S3))
+    ohv_c = jnp.where(
+        iv == rvr, 1.0 - fv_b, jnp.where(iv == rvr + 1, fv_b, 0.0)
+    ).astype(jnp.bfloat16)
+    iu = jax.lax.broadcasted_iota(jnp.int32, (WU, S3), 0)
+    fu_b = jnp.broadcast_to(fu_, (WU, S3))
+    w2u = jnp.where(iu == cur, 1.0 - fu_b, jnp.where(iu == cur + 1, fu_b, 0.0))
+
+    def rgb_tap(ch):
+        win = rgb_p_ref[pl.ds(ch * wpr + u0r, WU), pl.ds(v0r, WV)]
+        q = dot(win, ohv_c)
+        return jnp.sum(w2u * q, axis=0, keepdims=True)  # [1, 512] in 0..255
+
+    meas_r = rgb_tap(0)
+    meas_g = rgb_tap(1)
+    meas_b = rgb_tap(2)
+
+    packed_c = voxrgb_ref[0, :, :]
+    old_r = ((packed_c >> 24) & 0xFF).astype(jnp.float32)
+    old_g = ((packed_c >> 16) & 0xFF).astype(jnp.float32)
+    old_b = ((packed_c >> 8) & 0xFF).astype(jnp.float32)
+    old_wc = packed_c & 0xFF
+    wcf = old_wc.astype(jnp.float32)
+    inv_w = 1.0 / (wcf + 1.0)
+    new_r = (old_r * wcf + meas_r) * inv_w
+    new_g = (old_g * wcf + meas_g) * inv_w
+    new_b = (old_b * wcf + meas_b) * inv_w
+    new_wc = jnp.minimum(old_wc + 1, max_w.astype(jnp.int32))
+    rq = jnp.round(jnp.clip(new_r, 0.0, 255.0)).astype(jnp.int32)
+    gq = jnp.round(jnp.clip(new_g, 0.0, 255.0)).astype(jnp.int32)
+    bq = jnp.round(jnp.clip(new_b, 0.0, 255.0)).astype(jnp.int32)
+    new_packed_c = (rq << 24) | (gq << 16) | (bq << 8) | (new_wc & 0xFF)
+    outrgb_ref[0, :, :] = jnp.where(gate_c, new_packed_c, packed_c)
+
 
 def integrate_blocks(
     vox: jnp.ndarray,  # [B, 512] int32 packed voxel array (donated)
@@ -185,15 +256,20 @@ def integrate_blocks(
     bpos: jnp.ndarray,  # [V, 3] int32 block coords
     meta: jnp.ndarray,  # [V, 3] int32 (u0/8, v0/128, valid)
     depth_planes: jnp.ndarray,  # [3·Wp, Hp] bf16 hi/mid/lo transposed depth
-    cam: jnp.ndarray,  # (32,) f32 camera/update params (see kernel)
+    cam: jnp.ndarray,  # (32,) or (48,) f32 camera/update params (see kernel)
     n_valid: jnp.ndarray | None = None,  # dynamic grid bound (None → static V)
     window: Tuple[int, int] | None = None,  # (wu, wv) override (tiering)
+    vox_rgb: jnp.ndarray | None = None,  # [B, 512] packed color plane
+    meta_rgb: jnp.ndarray | None = None,  # [V, 3] rgb-camera window origins
+    rgb_planes: jnp.ndarray | None = None,  # [3·Wpr, Hpr] bf16 r/g/b (0..255)
     interpret: bool = False,
-) -> jnp.ndarray:
+):
     """Run the per-visible-block fused TSDF update; returns the updated vox
-    plane (same buffer, in-place semantics via input_output_aliases)."""
+    plane (same buffer, in-place semantics via input_output_aliases) — or
+    (vox, vox_rgb) when the color operands are given."""
     V = ptrs.shape[0]
     B, s3 = vox.shape
+    with_color = vox_rgb is not None
     # TPU lowering wants the 2nd-minor block dim to equal the array's, so the
     # VBA plane is viewed as [B, 1, S3] with (1, 1, S3) row blocks
     vox3 = vox.reshape(B, 1, s3)
@@ -203,36 +279,60 @@ def integrate_blocks(
         wu, wv = min(WU_MAX, Wp), min(WV_MAX, Hp)
     else:
         wu, wv = min(window[0], Wp), min(window[1], Hp)
-    kernel = functools.partial(_integrate_kernel, wu=wu, wv=wv, wp=Wp)
+    wpr = rgb_planes.shape[0] // 3 if with_color else 0
+    kernel = functools.partial(
+        _integrate_kernel, wu=wu, wv=wv, wp=Wp, with_color=with_color, wpr=wpr
+    )
     # dynamic grid: steps ∝ actual visible count (the reference launches
     # <<<noVisibleEntries, 8³>>>); the traced bound goes in the grid tuple
     # itself — steps ≥ n_valid never run, so their operands are never read
     grid = (V,) if n_valid is None else (jnp.minimum(n_valid, V),)
+    vox_spec = pl.BlockSpec(
+        (1, 1, s3), lambda i, p, b, m, *_: (p[i], 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        vox_spec,
+        pl.BlockSpec((3 * Wp, Hp), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    out_specs = vox_spec
+    out_shape = jax.ShapeDtypeStruct((B, 1, s3), jnp.int32)
+    n_prefetch = 3
+    aliases = {3: 0}
+    args = [ptrs, bpos.reshape(-1), meta.reshape(-1), vox3, depth_planes, cam]
+    if with_color:
+        n_prefetch = 4
+        Hpr = rgb_planes.shape[1]
+        in_specs = in_specs + [
+            vox_spec,
+            pl.BlockSpec((3 * wpr, Hpr), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        out_specs = (out_specs, vox_spec)
+        out_shape = (out_shape, jax.ShapeDtypeStruct((B, 1, s3), jnp.int32))
+        aliases = {4: 0, 7: 1}
+        args = [
+            ptrs, bpos.reshape(-1), meta.reshape(-1), meta_rgb.reshape(-1),
+            vox3, depth_planes, cam, vox_rgb.reshape(B, 1, s3), rgb_planes,
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=n_prefetch,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, s3), lambda i, p, b, m: (p[i], 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((3 * Wp, Hp), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, s3), lambda i, p, b, m: (p[i], 0, 0), memory_space=pltpu.VMEM
-        ),
+        in_specs=in_specs,
+        out_specs=out_specs,
     )
     call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, 1, s3), jnp.int32),
+        out_shape=out_shape,
         grid_spec=grid_spec,
-        input_output_aliases={3: 0},
+        input_output_aliases=aliases,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
     )
-    out = call(ptrs, bpos.reshape(-1), meta.reshape(-1), vox3, depth_planes, cam)
+    out = call(*args)
+    if with_color:
+        return out[0].reshape(B, s3), out[1].reshape(B, s3)
     return out.reshape(B, s3)
 
 
@@ -332,23 +432,44 @@ def make_cam_vector(
     stop_at_max_w: bool,
     enable: jnp.ndarray | bool,
     img_size: Tuple[int, int],
+    M_rgb: jnp.ndarray | None = None,
+    proj_rgb: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     H, W = img_size
     en = jnp.asarray(enable, jnp.float32).reshape(())
-    return jnp.concatenate(
-        [
-            pose[:3, :3].reshape(-1).astype(jnp.float32),
-            pose[:3, 3].astype(jnp.float32),
-            jnp.asarray(proj[:4], jnp.float32),
-            jnp.array(
-                [voxel_size, mu, float(max_w), 1.0 if stop_at_max_w else 0.0],
-                jnp.float32,
-            ),
-            en[None],
-            jnp.array([float(H), float(W)], jnp.float32),
-            jnp.zeros((9,), jnp.float32),
+    parts = [
+        pose[:3, :3].reshape(-1).astype(jnp.float32),
+        pose[:3, 3].astype(jnp.float32),
+        jnp.asarray(proj[:4], jnp.float32),
+        jnp.array(
+            [voxel_size, mu, float(max_w), 1.0 if stop_at_max_w else 0.0],
+            jnp.float32,
+        ),
+        en[None],
+        jnp.array([float(H), float(W)], jnp.float32),
+        jnp.zeros((9,), jnp.float32),
+    ]
+    if M_rgb is not None:
+        # slots 32..47: rgb-camera extrinsic R(9) t(3) + intrinsics (4)
+        parts += [
+            M_rgb[:3, :3].reshape(-1).astype(jnp.float32),
+            M_rgb[:3, 3].astype(jnp.float32),
+            jnp.asarray(proj_rgb[:4], jnp.float32),
         ]
-    )
+    return jnp.concatenate(parts)
+
+
+def prep_rgb_planes(rgb: jnp.ndarray) -> jnp.ndarray:
+    """RGB image (float 0..1) → stacked transposed bf16 channel planes
+    [3·Wp, Hp] in 0..255 units (8-bit color values are exact in bf16)."""
+    H, W = rgb.shape[:2]
+    Wp = (W + 7) // 8 * 8
+    Hp = (H + 127) // 128 * 128
+    chans = []
+    for c in range(3):
+        t = jnp.pad(rgb[..., c].T * 255.0, ((0, Wp - W), (0, Hp - H)))
+        chans.append(t.astype(jnp.bfloat16))
+    return jnp.concatenate(chans, axis=0)
 
 
 def prep_depth_t(depth: jnp.ndarray) -> jnp.ndarray:

@@ -98,3 +98,41 @@ def test_pallas_integrate_stop_at_max_w():
         vol, rs, view, pose, proj, settings, interpret=True
     )
     assert (np.asarray(oracle.vox) != np.asarray(kern.vox)).sum() == 0
+
+
+def test_pallas_color_integrate_matches_oracle():
+    """Color fusion in the Pallas kernel vs the XLA gather/scatter oracle:
+    depth plane bit-exact, color within bilinear bf16-weight quantization
+    (≤1 uint8 LSB per channel)."""
+    settings = make_settings().replace(use_color=True)
+    calib = default_calib(IMG[1], IMG[0])
+    proj = jnp.asarray(calib.intrinsics_d.vector)
+    src = synth.SyntheticSource(calib, n_frames=2, img_size=IMG, with_rgb=True)
+    depth, rgb, _gt = src.get_images()
+    vol, rs, state = hp.create_engine_state(settings, IMG)
+    for _ in range(2):
+        vol, rs, state, _diag = hp.process_frame_hash(
+            vol, rs, state, View(depth=depth, rgb=rgb), proj, settings,
+            proj_rgb=proj, rgb_to_depth=jnp.eye(4),
+        )
+    view = View(depth=depth, rgb=rgb)
+    pose = state.pose
+
+    ref = hp.integrate_into_scene(
+        vol, rs, view, pose, proj, settings, proj_rgb=proj,
+        rgb_to_depth=jnp.eye(4),
+    )
+    out = hp.integrate_into_scene_pallas(
+        vol, rs, view, pose, proj, settings, interpret=True,
+        proj_rgb=proj, rgb_to_depth=jnp.eye(4),
+    )
+    np.testing.assert_array_equal(np.asarray(out.vox), np.asarray(ref.vox))
+    pk = np.asarray(out.vox_rgb).view(np.uint32)
+    pr = np.asarray(ref.vox_rgb).view(np.uint32)
+    # unpack channels, compare with 1-LSB tolerance; wc exact
+    for shift in (24, 16, 8):
+        ck = (pk >> shift) & 0xFF
+        cr = (pr >> shift) & 0xFF
+        d = np.abs(ck.astype(np.int32) - cr.astype(np.int32))
+        assert d.max() <= 1, f"channel@{shift} max diff {d.max()}"
+    np.testing.assert_array_equal(pk & 0xFF, pr & 0xFF)

@@ -73,6 +73,19 @@ def gate_integrate():
         )
     )(vox, jnp.int32(1200))
     jax.block_until_ready(out3)
+    # color variant
+    rgb = jnp.asarray(rng.uniform(0, 1, size=img + (3,)), jnp.float32)
+    cam_c = ik.make_cam_vector(
+        pose, proj, 0.01, 0.04, 100, False, True, img,
+        M_rgb=pose, proj_rgb=proj,
+    )
+    out4 = jax.jit(
+        lambda v, vr, n: ik.integrate_blocks(
+            v, ptrs, bpos, meta, depth_p, cam_c, n_valid=n,
+            vox_rgb=vr, meta_rgb=meta, rgb_planes=ik.prep_rgb_planes(rgb),
+        )
+    )(vox, jnp.zeros((B, 512), jnp.int32), jnp.int32(1200))
+    jax.block_until_ready(out4)
 
 
 def gate_raycast():

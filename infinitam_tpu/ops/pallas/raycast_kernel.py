@@ -318,13 +318,15 @@ def _raycast_kernel(
     found = foundf > 0.5
 
     # ---- trilinear refinement (reference castRay:141-150) -----------------
-    # The 8 corner taps fold into ONE weighted one-hot: a [512, 256] operand
-    # carrying each corner's trilinear weight at its in-block linear index,
-    # so one pages-dot interpolates directly (the corner-rolled-page-copies
-    # design cost two [8·KP, 512] dots + 7 rolls per tile — half the kernel's
-    # FLOPs). Corners crossing the block boundary fold their weight into the
-    # base corner (same degradation as before); bf16 weight rounding moves
-    # the refined hit by ≤ 2⁻⁸·step_scale voxels — far below the voxel grid.
+    # The 8 corner taps fold into TWO weighted one-hots: one carrying the
+    # corners inside the BASE block, one carrying corners that cross into the
+    # boundary-neighbor block (the block offset by +1 along every axis where
+    # the base voxel sits on the block's last slice) — two pages-dots
+    # interpolate exactly across block boundaries. Folding crossing corners
+    # into the base corner (the r3 design) biased ~1/3 of hits by up to half
+    # a voxel at block seams (measured on a flat-wall scene); corners in
+    # neither block (unpaged diagonal neighbors — rare) drop out and the
+    # value renormalizes by the included weight.
     def tri_round(t_star):
         px = o_x + d_x * t_star
         py = o_y + d_y * t_star
@@ -343,40 +345,81 @@ def _raycast_kernel(
         lz = ib_z & 7
         lin = lx + S * ly + S2 * lz
         cell = _cell_key(ib_x >> 3, ib_y >> 3, ib_z >> 3, grid_dims, grid_origin)
+        at_x = lx == S - 1
+        at_y = ly == S - 1
+        at_z = lz == S - 1
+        cell_nb = _cell_key(
+            (ib_x >> 3) + at_x.astype(jnp.int32),
+            (ib_y >> 3) + at_y.astype(jnp.int32),
+            (ib_z >> 3) + at_z.astype(jnp.int32),
+            grid_dims, grid_origin,
+        )
 
-        ohl_w = jnp.zeros((512, NRAY), jnp.float32)
-        base_w = jnp.zeros((1, NRAY), jnp.float32)
+        ohl_b = jnp.zeros((512, NRAY), jnp.float32)
+        ohl_n = jnp.zeros((512, NRAY), jnp.float32)
+        w_n = jnp.zeros((1, NRAY), jnp.float32)
+        w_drop = jnp.zeros((1, NRAY), jnp.float32)
         for dx, dy, dz in _CORNERS:
             wx = rx if dx else (1.0 - rx)
             wy = ry if dy else (1.0 - ry)
             wz = rz if dz else (1.0 - rz)
             w_c = wx * wy * wz
             if (dx, dy, dz) == (0, 0, 0):
-                base_w = base_w + w_c
+                ohl_b = ohl_b + jnp.where(iota_l == lin, w_c, 0.0)
                 continue
-            ok = jnp.ones((1, NRAY), bool)
+            # axes this corner crosses out of the base block
+            crosses = jnp.zeros((1, NRAY), bool)
+            covered = jnp.ones((1, NRAY), bool)  # corner ⊇ boundary axes
             if dx:
-                ok &= lx < S - 1
+                crosses |= at_x
+            else:
+                covered &= ~at_x
             if dy:
-                ok &= ly < S - 1
+                crosses |= at_y
+            else:
+                covered &= ~at_y
             if dz:
-                ok &= lz < S - 1
-            lin_c = lin + dx + S * dy + S2 * dz
-            ohl_w = ohl_w + jnp.where(
-                (iota_l == lin_c) & ok, w_c, 0.0
-            )
-            base_w = base_w + jnp.where(ok, 0.0, w_c)
-        ohl_w = ohl_w + jnp.where(iota_l == lin, base_w, 0.0)
+                crosses |= at_z
+            else:
+                covered &= ~at_z
+            in_base = ~crosses
+            in_nb = crosses & covered
+            lin_c = lin + dx + S * dy + S2 * dz  # valid only when in_base
+            # in-neighbor linear index: crossed axes wrap to 0
+            lnx = jnp.where(at_x, 0, lx + dx) if dx else lx
+            lny = jnp.where(at_y, 0, ly + dy) if dy else ly
+            lnz = jnp.where(at_z, 0, lz + dz) if dz else lz
+            lin_n = lnx + S * lny + S2 * lnz
+            ohl_b = ohl_b + jnp.where((iota_l == lin_c) & in_base, w_c, 0.0)
+            ohl_n = ohl_n + jnp.where((iota_l == lin_n) & in_nb, w_c, 0.0)
+            w_n = w_n + jnp.where(in_nb, w_c, 0.0)
+            w_drop = w_drop + jnp.where(crosses & ~covered, w_c, 0.0)
 
-        q = jax.lax.dot_general(
-            pages[:], ohl_w.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        dn = (((1,), (0,)), ((), ()))
+        q_b = jax.lax.dot_general(
+            pages[:], ohl_b.astype(jnp.bfloat16), dn,
             precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=jnp.float32,
         )  # [KP, 256]
-        ohk = keys[:] == cell  # [KP, 256]
-        sdf_tri = jnp.sum(jnp.where(ohk, q, 0.0), axis=0, keepdims=True)
-        matched = jnp.sum(ohk.astype(jnp.float32), axis=0, keepdims=True) > 0.0
-        sdf_tri = jnp.where(matched, sdf_tri * (1.0 / 128.0), 0.0)
+        q_n = jax.lax.dot_general(
+            pages[:], ohl_n.astype(jnp.bfloat16), dn,
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+        ohk_b = keys[:] == cell
+        ohk_n = keys[:] == cell_nb
+        val = jnp.sum(jnp.where(ohk_b, q_b, 0.0), axis=0, keepdims=True)
+        matched_b = jnp.sum(ohk_b.astype(jnp.float32), axis=0, keepdims=True) > 0.0
+        matched_n = jnp.sum(ohk_n.astype(jnp.float32), axis=0, keepdims=True) > 0.0
+        val = val + jnp.where(
+            matched_n, jnp.sum(jnp.where(ohk_n, q_n, 0.0), axis=0, keepdims=True), 0.0
+        )
+        # renormalize by the weight actually included (excluded: corners in
+        # off-diagonal neighbor blocks, and the neighbor block when unpaged)
+        wsum = (1.0 - w_n - w_drop) + jnp.where(matched_n, w_n, 0.0)
+        sdf_tri = jnp.where(
+            matched_b, val / jnp.maximum(wsum, 0.25) * (1.0 / 128.0), 0.0
+        )
         return t_star + sdf_tri * step_scale, sdf_tri
 
     t_star, _s1 = tri_round(t_star)

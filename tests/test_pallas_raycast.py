@@ -117,3 +117,56 @@ def test_pallas_raycast_depth_consistency():
     sel = found & gt_valid
     err = np.abs(z[sel] - d[sel])
     assert np.median(err) < settings.scene.voxel_size
+
+
+def test_trilinear_exact_across_block_boundaries():
+    """A flat wall whose zero crossing sits near a block seam must be hit at
+    the stored field's interpolated zero to sub-0.01-voxel accuracy. The r3
+    design folded boundary-crossing trilinear corners into the base corner,
+    biasing ~1/3 of hits by up to half a voxel; the two-one-hot tri reads
+    the neighbor page exactly."""
+    from infinitam_tpu.ops.pallas import raycast_kernel as rk
+
+    gp_dims = (32, 32, 32)
+    gp_orig = (-16, -16, 0)
+    Z0, mu_vox = 11.3, 4.0
+    lin = np.arange(512)
+    lz = lin // 64
+
+    def cell(bx, by, bz):
+        return ((bx + 16) * 32 + (by + 16)) * 32 + bz
+
+    blocks, cells = [], []
+    for bx in (-1, 0):
+        for by in (-1, 0):
+            for bz in (0, 1, 2):
+                zv = bz * 8 + lz
+                sdf = np.clip((Z0 - zv) / mu_vox, -1, 1)
+                q = np.round(sdf * 127).astype(np.int64)
+                blocks.append((q << 24).astype(np.int64))
+                cells.append(cell(bx, by, bz))
+    while len(blocks) % 8:  # VBA rows must be 8-aligned for the group DMA
+        blocks.append(np.full(512, 127 << 24, np.int64))
+    vox = jnp.asarray(np.stack(blocks).astype(np.int32))
+    kp = 16
+    pr = np.full((1, kp), -1, np.int32)
+    pk = np.full((1, kp), -2, np.int32)
+    for i, c in enumerate(cells):
+        pr[0, i] = i
+        pk[0, i] = c
+    proj = jnp.array([200.0, 200.0, 7.5, 7.5], jnp.float32)
+    cam = rk.make_cam_scalars(jnp.eye(4), proj, 0.02, 3.0, 0.01)
+    out = np.asarray(
+        rk.raycast_tiles(
+            jnp.asarray(pr), jnp.asarray(pk), cam, vox,
+            t_march=48, step_scale=mu_vox, grid_dims=gp_dims,
+            grid_origin=gp_orig, tiles_w=1, interpret=True,
+        )
+    )
+    found = out[0, 3, :] > 0.5
+    assert found.all()
+    pz = out[0, 2, :][found]
+    z_expected = 11 + (10 / 128) / (10 / 128 + 22 / 128)  # stored-field zero
+    err = pz - z_expected
+    assert abs(err.mean()) < 0.01, f"mean hit error {err.mean():+.4f} voxels"
+    assert np.abs(err).max() < 0.05, f"max hit error {np.abs(err).max():.4f}"

@@ -31,13 +31,34 @@ from infinitam_tpu.ops import raycast as rc
 from infinitam_tpu.ops import tsdf
 from infinitam_tpu.utils import se3
 
-# static bound on the ±mu band DDA (the band is 2·mu metres ≈ 1 block long,
-# so ≤ 1 + 3 axis crossings + slack; 6 covers all sane configs)
+# cap on the ±mu band DDA steps (band_steps() derives the exact per-config
+# count; the cap guards degenerate configs with mu ≫ block edge)
 MAX_BAND_STEPS = 6
 
 # static capacity for out-of-working-grid allocation candidates per frame
 # (typically zero; candidates beyond the cap defer to the next frame)
 OOG_CAP = 2048
+
+
+def band_steps(settings: Settings) -> int:
+    """Exact static DDA step count for the ±mu allocation band: a segment of
+    length 2·mu crosses at most ceil(2·mu/edge) planes per axis, touching
+    1 + 3·ceil cells. Every shipped config has 2·mu == one block edge → 4
+    steps (the round-4 fixed 6 oversized the candidate plane 1.5×; every
+    candidate-space op scales with it)."""
+    import math
+
+    edge = settings.hashing.block_size * settings.scene.voxel_size
+    ratio = 2.0 * settings.scene.mu / edge
+    return min(MAX_BAND_STEPS, 1 + 3 * max(1, math.ceil(ratio - 1e-6)))
+
+
+def novel_cap(settings: Settings) -> int:
+    """Static capacity of the compacted novel-candidate stage (allocator
+    stage 2): survivors of the neighbour dedupe, ~2-3× the unique touched
+    cells. 2× the visible-list capacity holds comfortably; overflow defers
+    to the next frame and is counted in n_alloc_overflow."""
+    return max(2 * settings.hashing.max_visible_blocks, 4096)
 
 
 class FrameDiagnostics(NamedTuple):
@@ -75,19 +96,35 @@ def allocate_scene_from_depth(
     (dynamic) suppresses new allocations (divergence policy) while still
     refreshing visibility.
 
-    Round-4 compact design (VERDICT r3 item 1b): no per-frame op touches an
-    [E]=1.18M plane. Candidates tag their grid CELLS with the frame epoch
-    (one compact scatter); visibility, allocation wants, and the compacted
-    visible list all derive from the tagged [G³] plane + the incrementally
-    maintained entry grid. Last frame's visibles re-check by projection over
-    the ≤V compact list (reference setToType3 + buildVisibleList semantics),
-    deduped against the epoch tags. The reference's visible_type codes are
-    produced per compact row (and scattered into the [E] plane only when
-    swapping needs the full-plane protocol).
+    Round-5 fully-compact design (VERDICT r4 item 1: no per-frame op scans
+    the [G³] plane, let alone an [E] one — every stage is candidate-space):
+
+      1. ±mu band DDA → candidate cells [steps·P] (P = subsampled pixels).
+      2. NEIGHBOUR DEDUPE: a candidate equal to any candidate of the
+         left/up/up-left pixel is dropped (blocks span ≥2 allocation strides,
+         so ~80-90% of candidates duplicate a neighbour; equality chains
+         terminate at a surviving first occurrence, so cell coverage is
+         exact). Survivors compact to a C2-sized stage (cumsum + scatter).
+      3. EXACT DEDUPE: survivors claim their cell in the persistent [G³]
+         cell_claim plane (scatter row index, gather back, winner = rows
+         that read their own index). One winner per touched cell; winners
+         compact to the ≤Vcap unique-cell list. The plane is never cleared:
+         cells touched this frame always hold a fresh claim, and claims are
+         validated against the claiming row, so stale values are inert.
+      4. Winner cells tap the incremental entry grid: cells with entries are
+         visible (k-rows, already compact at list offset 0); cells without
+         are the frame's allocation wants (insert under a cond — steady-state
+         frames allocate nothing). Out-of-grid candidates fall back to hash
+         probing under their own cond, with the found rows sort-deduped
+         (ADVICE r4: duplicate OOG rows double-fused and leaked swap blocks).
+      5. Last frame's visibles re-check by projection over the compact list
+         (reference setToType3 + buildVisibleList semantics), deduped via
+         the claim plane + entry epochs, and appended at offset n_k; OOG
+         rows append after them. No concat-then-scan: three offset scatters.
 
     Returns (vol, render_state, n_alloc_overflow) — the third value counts
-    wanted-but-deferred new blocks (alloc cap / OOG cap overflow)."""
-    if render_state.cell_epoch is None or vol.entry_grid is None:
+    wanted-but-deferred new blocks (alloc/novel/OOG cap overflow)."""
+    if render_state.cell_claim is None or vol.entry_grid is None:
         return _allocate_scene_from_depth_legacy(
             vol, render_state, depth, pose, proj, settings,
             only_update_visible=only_update_visible, enable=enable,
@@ -106,15 +143,14 @@ def allocate_scene_from_depth(
     s = settings.alloc_subsample
     depth_a = depth[::s, ::s] if s > 1 else depth
     proj_a = proj / s if s > 1 else proj
+    Ph, Pw = depth_a.shape
+    nsteps = band_steps(settings)
 
     cbx, cby, cbz, cval = hashing.blocks_on_ray_segment_planes(
         depth_a, proj_a, se3.invert(pose), sp.mu, sp.voxel_size,
-        hp.block_size, MAX_BAND_STEPS, sp.view_frustum_min, sp.view_frustum_max,
-    )
-    cbx = cbx.reshape(-1)
-    cby = cby.reshape(-1)
-    cbz = cbz.reshape(-1)
-    cval = cval.reshape(-1) & enable
+        hp.block_size, nsteps, sp.view_frustum_min, sp.view_frustum_max,
+    )  # each [nsteps, Ph·Pw]
+    cval = cval & enable
 
     ox, oy, oz = gp.origin
     gxc = cbx - ox
@@ -123,27 +159,58 @@ def allocate_scene_from_depth(
     in_grid = (
         (gxc >= 0) & (gxc < gx) & (gyc >= 0) & (gyc < gy) & (gzc >= 0) & (gzc < gz)
     )
-    cell = (gxc * gy + gyc) * gz + gzc
-    # ONE deduplicating scatter: tag every candidate-touched cell with the
-    # frame epoch (the [G³] plane persists across frames — no clearing)
-    cell_epoch = render_state.cell_epoch.at[
-        jnp.where(cval & in_grid, cell, G3)
-    ].set(epoch, mode="drop")
-    touched = cell_epoch == epoch  # [G³]
+    cell = (gxc * gy + gyc) * gz + gzc  # [nsteps, Ph·Pw]
 
-    # out-of-grid candidates fall back to hash probing (unbounded world —
-    # the grid is an accelerator, the hash stays canonical). lax.cond-gated
-    # INCLUDING the candidate compaction (a nonzero over the ~100 k-candidate
-    # plane costs >1 ms — only the cheap reduce runs unconditionally; on a
-    # typical frame every candidate lands in the working grid).
-    oog = cval & ~in_grid
+    # --- stage 2: neighbour dedupe + compact ------------------------------
+    key = jnp.where(cval & in_grid, cell, -1).reshape(nsteps, Ph, Pw)
+
+    def _matches_any(shifted):  # [nsteps, Ph, Pw] vs all steps of a neighbour
+        m = jnp.zeros(key.shape, dtype=bool)
+        for s2 in range(nsteps):
+            nb = shifted[s2][None]
+            m |= (key == nb) & (nb >= 0)
+        return m
+
+    left = jnp.pad(key[:, :, :-1], ((0, 0), (0, 0), (1, 0)), constant_values=-1)
+    up = jnp.pad(key[:, :-1, :], ((0, 0), (1, 0), (0, 0)), constant_values=-1)
+    upleft = jnp.pad(
+        key[:, :-1, :-1], ((0, 0), (1, 0), (1, 0)), constant_values=-1
+    )
+    dup_nb = _matches_any(left) | _matches_any(up) | _matches_any(upleft)
+    novel = (key >= 0) & ~dup_nb
+    novel_flat = novel.reshape(-1)
+    C2 = novel_cap(settings)
+    c2_cell, n_novel = hashing.compact_by_mask(
+        novel_flat, jnp.where(novel_flat, cell.reshape(-1), G3), C2, fill=G3
+    )
+    novel_overflow = jnp.maximum(n_novel - C2, 0)
+
+    # --- stage 3: exact dedupe via the claim plane ------------------------
+    iota2 = jnp.arange(C2, dtype=jnp.int32)
+    cell_claim = render_state.cell_claim.at[
+        jnp.where(c2_cell < G3, c2_cell, G3)
+    ].set(iota2, mode="drop")
+    win = (c2_cell < G3) & (cell_claim[jnp.clip(c2_cell, 0, G3 - 1)] == iota2)
+    kcell, n_k_total = hashing.compact_by_mask(win, c2_cell, Vcap, fill=G3)
+    k_overflow = jnp.maximum(n_k_total - Vcap, 0)
+    n_k = jnp.minimum(n_k_total, Vcap)
+    kvalid = kcell < G3
+    kcell_c = jnp.clip(kcell, 0, G3 - 1)
+
+    # --- out-of-grid candidates (hash fallback; unbounded world) ----------
+    # cond-gated INCLUDING the candidate compaction (a nonzero over the full
+    # candidate plane costs >1 ms; typical frames have zero OOG candidates).
+    oog = (cval & ~in_grid).reshape(-1)
     n_oog = jnp.sum(oog).astype(jnp.int32)
     entry_epoch = render_state.entry_epoch
+    cbx_f = cbx.reshape(-1)
+    cby_f = cby.reshape(-1)
+    cbz_f = cbz.reshape(-1)
 
     def _oog_candidates():
         oidx = jnp.nonzero(oog, size=OOG_CAP, fill_value=-1)[0]
-        oc = jnp.clip(oidx, 0, cbx.shape[0] - 1)
-        ocand = jnp.stack([cbx[oc], cby[oc], cbz[oc]], axis=-1)
+        oc = jnp.clip(oidx, 0, cbx_f.shape[0] - 1)
+        ocand = jnp.stack([cbx_f[oc], cby_f[oc], cbz_f[oc]], axis=-1)
         return ocand, oidx >= 0
 
     def probe_oog(ee):
@@ -155,8 +222,21 @@ def allocate_scene_from_depth(
         ocode = jnp.where(
             opr.entry_ptr == hv.SWAPPED_PTR, hv.VT_VISIBLE_SWAPPED, hv.VT_VISIBLE
         )
+        ocode = jnp.where(ofound, ocode, 0)
+        # sort-dedupe the found rows: many band candidates probing the same
+        # entry each contributed a duplicate visible row in round 4 —
+        # double-fusing the block and popping one swap-realloc slot per
+        # duplicate (ADVICE r4, medium). 2k-row argsort, cond-gated.
+        order = jnp.argsort(oe)
+        oe_s = oe[order]
+        ocode_s = ocode[order]
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), oe_s[1:] != oe_s[:-1]]
+        ) & (oe_s < E)
+        oe_d = jnp.where(first, oe_s, E)
+        ocode_d = jnp.where(first, ocode_s, 0)
         n_new = jnp.sum(ovalid & ~opr.found).astype(jnp.int32)
-        return ee, oe, jnp.where(ofound, ocode, 0), opr.found, n_new
+        return ee, oe_d, ocode_d, opr.found, n_new
 
     entry_epoch, oog_vis_idx, oog_vis_code, oog_found, n_oog_new = jax.lax.cond(
         n_oog > 0,
@@ -170,35 +250,40 @@ def allocate_scene_from_depth(
         ),
         entry_epoch,
     )
+    oog_new_idx = jnp.full((OOG_CAP,), E, jnp.int32)
 
-    n_alloc_overflow = jnp.int32(0)
+    n_alloc_overflow = novel_overflow + k_overflow
     if not only_update_visible:
-        # new in-grid cells: epoch-tagged but unallocated. Only the cheap
-        # reduce runs every frame; the compaction + decode + insert live in
-        # the cond (steady-state frames allocate nothing — the reference
-        # analogue is the per-entry alloc kernel with nothing marked,
-        # _CUDA.cu:149).
-        want = touched & (vol.entry_grid < 0)
+        # allocation wants: winner cells with no entry yet. Only the cheap
+        # Vcap-sized reduce runs every frame; the compaction + decode +
+        # insert live in the cond (steady-state frames allocate nothing —
+        # the reference analogue is the per-entry alloc kernel with nothing
+        # marked, _CUDA.cu:149).
+        packed0 = vol.entry_grid[kcell_c]
+        want = kvalid & (packed0 < 0)
         n_want = jnp.sum(want).astype(jnp.int32)
-        n_alloc_overflow = jnp.maximum(
+        n_alloc_overflow = n_alloc_overflow + jnp.maximum(
             n_want - settings.max_alloc_blocks, 0
         ) + jnp.maximum(n_oog - OOG_CAP, 0)
         dummy_vt = jnp.zeros((1,), jnp.int32)  # codes tracked compactly here
 
         def do_insert_grid(op):
             v, ee = op
-            ncell = jnp.nonzero(want, size=settings.max_alloc_blocks, fill_value=-1)[0]
+            ncell, _ = hashing.compact_by_mask(
+                want, kcell, settings.max_alloc_blocks, fill=G3
+            )
+            nv = ncell < G3
             ncell_c = jnp.clip(ncell, 0, G3 - 1)
             nblocks = jnp.stack(
                 [ncell_c // (gy * gz), (ncell_c // gz) % gy, ncell_c % gz], axis=-1
             ).astype(jnp.int32) + jnp.array(gp.origin, dtype=jnp.int32)
-            v, _, _ = hv.insert_blocks(v, dummy_vt, nblocks, ncell >= 0, hp, grid_params=gp)
+            v, _, _ = hv.insert_blocks(v, dummy_vt, nblocks, nv, hp, grid_params=gp)
             # round 2 on the same set: same-bucket losers of round 1
             # (distinct blocks electing one winner per chain tail) insert now
             # instead of deferring a frame — removes the reference's
             # first-frame pinholes (insert_blocks re-probes, so
             # already-inserted blocks are no-ops)
-            v, _, _ = hv.insert_blocks(v, dummy_vt, nblocks, ncell >= 0, hp, grid_params=gp)
+            v, _, _ = hv.insert_blocks(v, dummy_vt, nblocks, nv, hp, grid_params=gp)
             return v, ee
 
         def do_insert_oog(op):
@@ -216,81 +301,103 @@ def allocate_scene_from_depth(
         slim, entry_epoch = jax.lax.cond(
             n_want > 0, do_insert_grid, lambda op: op, (slim, entry_epoch)
         )
-        no_widx = jnp.full((OOG_CAP,), E, jnp.int32)
         slim, entry_epoch, oog_new_idx = jax.lax.cond(
             n_oog_new > 0,
             do_insert_oog,
             lambda op: op,
-            (slim, entry_epoch, no_widx),
+            (slim, entry_epoch, oog_new_idx),
         )
         vol = slim._replace(vox=vol.vox, vox_rgb=vol.vox_rgb)
-        # freshly inserted OOG entries join the visible rows (code 1)
-        oog_vis_code = jnp.where(
-            oog_vis_idx < E, oog_vis_code,
-            jnp.where(oog_new_idx < E, hv.VT_VISIBLE, 0),
-        )
-        oog_vis_idx = jnp.where(oog_vis_idx < E, oog_vis_idx, oog_new_idx)
+        # freshly inserted OOG entries join the visible rows as their own
+        # list (code 1); insert_blocks elects one winner per duplicate
+        # candidate, so winner rows are already unique
+        oog_new_idx = jnp.where(oog_new_idx < E, oog_new_idx, E)
 
-    # --- compact visible list ---------------------------------------------
-    # (a) grid-derived: touched cells that now have an entry (includes all
-    #     entries allocated this frame — insert_blocks updates entry_grid)
-    known = touched & (vol.entry_grid >= 0)
-    kcell = jnp.nonzero(known, size=Vcap, fill_value=-1)[0]
-    kvalid = kcell >= 0
-    kpacked = vol.entry_grid[jnp.clip(kcell, 0, G3 - 1)]
-    k_eidx = jnp.where(kvalid, kpacked >> 1, E)
-    k_code = jnp.where(
-        (kpacked & 1) == 1, hv.VT_VISIBLE_SWAPPED, hv.VT_VISIBLE
-    )
+    # --- visible-list rows ------------------------------------------------
+    # k-rows: winner cells that (now) have an entry — already compact at
+    # offset 0 (freshly inserted blocks included: insert updates entry_grid).
+    # Cells whose allocation deferred leave a −1 gap (rare; consumers mask).
+    packed = vol.entry_grid[kcell_c]
+    k_live = kvalid & (packed >= 0)
+    k_eidx = jnp.where(k_live, packed >> 1, -1)
+    k_code = jnp.where((packed & 1) == 1, hv.VT_VISIBLE_SWAPPED, hv.VT_VISIBLE)
+    n_k_eff = jnp.sum(k_live).astype(jnp.int32)
 
-    # (b) last frame's visibles: projection re-check over the compact list
-    #     (reference: setToType3 + buildVisibleList type-3 re-check), deduped
-    #     against this frame's epoch tags
+    # prev-rows: last frame's visibles, projection re-check over the compact
+    # list (reference: setToType3 + buildVisibleList type-3 re-check),
+    # deduped via the claim plane (cell touched this frame ⇒ already a k-row)
+    # + entry epochs (OOG rows). Positions come as three FLAT gathers — a
+    # [V, 3] row gather pays the 3-wide-minor-dim layout tax (PERF_NOTES).
     pid = render_state.visible_ids
     pidc = jnp.clip(pid, 0, E - 1)
-    ppos = vol.entry_pos[pidc]
     pvalid = pid >= 0
-    pvis = hv.check_block_visibility(
-        ppos, pose, proj, img_size, sp.voxel_size, hp.block_size,
+    ppx = vol.entry_pos[:, 0][pidc]
+    ppy = vol.entry_pos[:, 1][pidc]
+    ppz = vol.entry_pos[:, 2][pidc]
+    pvis = hv.check_block_visibility_planes(
+        ppx, ppy, ppz, pose, proj, img_size, sp.voxel_size, hp.block_size,
         enlarged=use_swapping,
     )
-    pcell, pinb = hv.grid_cell(ppos, gp)
-    dup = (pinb & (cell_epoch[jnp.clip(pcell, 0, G3 - 1)] == epoch)) | (
-        entry_epoch[pidc] == epoch
+    pgx = ppx - ox
+    pgy = ppy - oy
+    pgz = ppz - oz
+    pinb = (
+        (pgx >= 0) & (pgx < gx) & (pgy >= 0) & (pgy < gy)
+        & (pgz >= 0) & (pgz < gz)
     )
+    pcell = (pgx * gy + pgy) * gz + pgz
+    jclaim = cell_claim[jnp.clip(pcell, 0, G3 - 1)]
+    dup_cell = pinb & (
+        c2_cell[jnp.clip(jclaim, 0, C2 - 1)] == pcell
+    ) & (jclaim >= 0) & (jclaim < C2)
+    dup = dup_cell | (entry_epoch[pidc] == epoch)
     keep_prev = pvalid & pvis & ~dup
-    prev_idx = jnp.where(keep_prev, pidc, E)
 
-    all_idx = jnp.concatenate([k_eidx, prev_idx, oog_vis_idx])
-    all_code = jnp.concatenate(
-        [
-            jnp.where(kvalid, k_code, 0),
-            jnp.where(keep_prev, hv.VT_VISIBLE_PREVIOUS, 0),
-            oog_vis_code,
-        ]
+    # --- assembly: three offset scatters, no concat-then-scan -------------
+    ids = k_eidx.astype(jnp.int32)  # [Vcap], k-rows at offset 0
+    prev_pos = jnp.cumsum(keep_prev.astype(jnp.int32)) - 1
+    pdst = n_k + prev_pos
+    ids = ids.at[jnp.where(keep_prev & (pdst < Vcap), pdst, Vcap)].set(
+        pidc, mode="drop"
     )
-    vmask = all_idx < E
-    n_visible = jnp.sum(vmask).astype(jnp.int32)
-    pos = jnp.nonzero(vmask, size=Vcap, fill_value=-1)[0]
-    pos_c = jnp.clip(pos, 0, all_idx.shape[0] - 1)
-    ids = jnp.where(pos >= 0, all_idx[pos_c], -1).astype(jnp.int32)
+    n_prev = jnp.sum(keep_prev).astype(jnp.int32)
+    om_f = oog_vis_idx < E
+    om_n = oog_new_idx < E
+    o_pos = jnp.cumsum(om_f.astype(jnp.int32)) - 1
+    odst = n_k + n_prev + o_pos
+    ids = ids.at[jnp.where(om_f & (odst < Vcap), odst, Vcap)].set(
+        oog_vis_idx, mode="drop"
+    )
+    n_oog_f = jnp.sum(om_f).astype(jnp.int32)
+    on_pos = jnp.cumsum(om_n.astype(jnp.int32)) - 1
+    ondst = n_k + n_prev + n_oog_f + on_pos
+    ids = ids.at[jnp.where(om_n & (ondst < Vcap), ondst, Vcap)].set(
+        oog_new_idx, mode="drop"
+    )
+    n_oog_v = n_oog_f + jnp.sum(om_n).astype(jnp.int32)
+    # true visible count (uncapped — _frame_diag compares it against the
+    # render/page windows so cap overflows surface there)
+    n_visible = n_k_eff + n_prev + n_oog_v
 
     # swapping needs the reference's full [E] visible_type plane (evict tests
     # visible_type==0 over all entries); maintain it by clearing last frame's
-    # marks and scattering this frame's codes — two ≤V-sized scatters, swap
+    # marks and scattering this frame's codes — ≤V-sized scatters, swap
     # mode only. Non-swap mode carries the plane untouched (stale, unused).
     vt = render_state.visible_type
     if use_swapping:
-        vt = vt.at[jnp.where(pid >= 0, pidc, E)].set(0, mode="drop")
-        vt = vt.at[jnp.where(pos >= 0, all_idx[pos_c], E)].set(
-            all_code[pos_c], mode="drop"
+        vt = vt.at[jnp.where(pvalid, pidc, E)].set(0, mode="drop")
+        vt = vt.at[jnp.where(k_live, k_eidx, E)].set(k_code, mode="drop")
+        vt = vt.at[jnp.where(keep_prev, pidc, E)].set(
+            hv.VT_VISIBLE_PREVIOUS, mode="drop"
         )
+        vt = vt.at[jnp.where(om_f, oog_vis_idx, E)].set(oog_vis_code, mode="drop")
+        vt = vt.at[jnp.where(om_n, oog_new_idx, E)].set(hv.VT_VISIBLE, mode="drop")
 
     new_rs = RenderStateVH(
         visible_type=vt,
         visible_ids=ids,
         n_visible=n_visible,
-        cell_epoch=cell_epoch,
+        cell_claim=cell_claim,
         entry_epoch=entry_epoch,
         epoch=epoch,
     )

@@ -143,14 +143,18 @@ class RenderStateVH(NamedTuple):
     The compact `visible_ids` list is canonical. `visible_type` keeps the
     reference's per-entry code plane for the swapping protocol and the legacy
     (oracle) alloc path; the fast alloc path maintains it only when swapping
-    is on. `cell_epoch`/`entry_epoch`/`epoch` power the round-4 compact
-    allocator: cells/entries touched this frame are tagged with the frame
-    epoch instead of rewriting [E]-sized planes (VERDICT r3 item 1b)."""
+    is on. `cell_claim`/`entry_epoch`/`epoch` power the compact allocator
+    (round 4/5, VERDICT r3 item 1b / r4 item 1): `cell_claim[c]` holds the
+    index of the candidate row that last claimed grid cell c — cells touched
+    THIS frame always hold a current claim (the scatter rewrites them), so a
+    claim is validated by checking the claimed row back (`c2_cell[j] == c`),
+    never by clearing the plane. `entry_epoch` tags hash entries touched via
+    the out-of-grid path with the frame epoch."""
 
     visible_type: jnp.ndarray  # [E] int32 (VT_* codes)
     visible_ids: jnp.ndarray  # [V] int32, −1 padding
     n_visible: jnp.ndarray  # scalar int32
-    cell_epoch: Optional[jnp.ndarray] = None  # [G³] int32 — frame tag per grid cell
+    cell_claim: Optional[jnp.ndarray] = None  # [G³] int32 — winning candidate row per cell
     entry_epoch: Optional[jnp.ndarray] = None  # [E] int32 — frame tag (OOG dedupe)
     epoch: Optional[jnp.ndarray] = None  # scalar int32 — current frame tag
 
@@ -222,7 +226,7 @@ def create_render_state(params: VoxelBlockHashParams, grid_params=None) -> Rende
         visible_type=jnp.zeros((params.n_entries,), dtype=jnp.int32),
         visible_ids=jnp.full((params.max_visible_blocks,), -1, dtype=jnp.int32),
         n_visible=jnp.array(0, dtype=jnp.int32),
-        cell_epoch=ce,
+        cell_claim=ce,
         entry_epoch=ee,
         epoch=ep,
     )
@@ -661,6 +665,51 @@ def check_block_visibility(
     bx = block_pos[..., 0].astype(jnp.float32) * factor
     by = block_pos[..., 1].astype(jnp.float32) * factor
     bz = block_pos[..., 2].astype(jnp.float32) * factor
+    R = M_d[:3, :3]
+    t = M_d[:3, 3]
+    px0 = R[0, 0] * bx + R[0, 1] * by + R[0, 2] * bz + t[0]
+    py0 = R[1, 0] * bx + R[1, 1] * by + R[1, 2] * bz + t[1]
+    pz0 = R[2, 0] * bx + R[2, 1] * by + R[2, 2] * bz + t[2]
+    vis = jnp.zeros(px0.shape, dtype=bool)
+    if enlarged:
+        x_lo, x_hi = -W / 8.0, W + W / 8.0
+        y_lo, y_hi = -H / 8.0, H + H / 8.0
+    else:
+        x_lo, x_hi, y_lo, y_hi = 0.0, float(W), 0.0, float(H)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                co = R @ (jnp.array([dx, dy, dz], dtype=jnp.float32) * factor)
+                z = pz0 + co[2]
+                ok = z >= 1e-10
+                zs = jnp.where(ok, z, 1.0)
+                u = fx * (px0 + co[0]) / zs + cx
+                v = fy * (py0 + co[1]) / zs + cy
+                vis |= ok & (u >= x_lo) & (u < x_hi) & (v >= y_lo) & (v < y_hi)
+    return vis
+
+
+def check_block_visibility_planes(
+    bx_i: jnp.ndarray,  # [...] int32 block x coords (component planes)
+    by_i: jnp.ndarray,
+    bz_i: jnp.ndarray,
+    M_d: jnp.ndarray,
+    proj: jnp.ndarray,
+    img_size: Tuple[int, int],
+    voxel_size: float,
+    block_size: int,
+    enlarged: bool = False,
+) -> jnp.ndarray:
+    """check_block_visibility on pre-split component planes — for callers
+    whose positions come from flat gathers (a [N, 3] gather puts the 3-wide
+    minor dim in the 128-lane axis and runs ~40× under peak; three flat [N]
+    gathers avoid it — PERF_NOTES layout rules)."""
+    H, W = img_size
+    fx, fy, cx, cy = proj[0], proj[1], proj[2], proj[3]
+    factor = block_size * voxel_size
+    bx = bx_i.astype(jnp.float32) * factor
+    by = by_i.astype(jnp.float32) * factor
+    bz = bz_i.astype(jnp.float32) * factor
     R = M_d[:3, :3]
     t = M_d[:3, 3]
     px0 = R[0, 0] * bx + R[0, 1] * by + R[0, 2] * bz + t[0]

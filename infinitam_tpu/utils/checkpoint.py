@@ -138,12 +138,13 @@ def load_engine(path: str, engine) -> None:
     if vol.entry_grid is not None and needs_cache_rebuild:
         vol = hv.refresh_caches(vol, engine.settings.block_grid)
     needs_epoch_reset = any(
-        ("cell_epoch" in n) or ("entry_epoch" in n) or ("epoch" in n)
+        ("cell_claim" in n) or ("cell_epoch" in n)  # pre-r5 name
+        or ("entry_epoch" in n) or ("epoch" in n)
         for n in missing
     )
-    if rs.cell_epoch is not None and needs_epoch_reset:
+    if rs.cell_claim is not None and needs_epoch_reset:
         rs = rs._replace(
-            cell_epoch=jnp.zeros_like(rs.cell_epoch),
+            cell_claim=jnp.zeros_like(rs.cell_claim),
             entry_epoch=jnp.zeros_like(rs.entry_epoch),
             epoch=jnp.zeros_like(rs.epoch),
         )

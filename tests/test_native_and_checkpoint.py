@@ -152,7 +152,7 @@ def test_checkpoint_migrates_missing_cache_leaves(tmp_path):
     meta = json.loads(bytes(z["__meta__"]).decode())
     keep = [
         (i, n) for i, n in enumerate(meta["__names__"])
-        if not any(t in n for t in ("entry_grid", "block_grid", "cell_epoch",
+        if not any(t in n for t in ("entry_grid", "block_grid", "cell_claim",
                                     "entry_epoch", "epoch"))
     ]
     arrays = {f"leaf_{j}": z[f"leaf_{i}"] for j, (i, _n) in enumerate(keep)}

@@ -64,8 +64,13 @@ def reference_settings() -> Settings:
         alloc_subsample=3,  # 4 cm blocks span ≥7 px at 3 m → stride ≤3 taps each
         max_fused_blocks=16384,
         max_render_blocks=16384,
-        raycast_page_blocks=8192,
-        raycast_pages_per_tile=64,
+        # above worst-case visibility (8403 measured; 8192 silently dropped
+        # 211 blocks in r4 — VERDICT r4 integrity item)
+        raycast_page_blocks=12288,
+        # tiered KP (r5): p80 page count ~23 → small tier 24; max ~39 → 48
+        # covers the tail with margin
+        raycast_pages_per_tile=48,
+        raycast_pages_small=24,
     )
 
 

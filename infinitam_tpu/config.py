@@ -164,10 +164,15 @@ class Settings:
     raycast_t_march: int = 64  # static bound on adaptive march steps per ray
     # KP: voxel blocks resident per 16×16 tile. March cost scales ~linearly
     # with KP. Measured distributions (tools/page_stats.py, synthetic scene):
-    # 1 cm voxels mean 12 / max 26 pages per tile; 5 mm mean 21 / max 49
-    # (bench sets 64 there). Tiles beyond KP drop their FARTHEST pages
-    # (near-first slot order) — degradation, not corruption.
+    # 1 cm voxels mean 12 / max 26 pages per tile; 5 mm mean ~19 / max ~39.
+    # Tiles beyond KP drop their FARTHEST pages (near-first slot order) —
+    # degradation, not corruption, counted in FrameDiagnostics.n_pool_overflow.
     raycast_pages_per_tile: int = 32
+    # Tiered KP (r5): tiles whose page count fits this bound march in a
+    # separate low-KP kernel launch (page counts are heavy-tailed — ~80% of
+    # tiles fit a KP ~p80 while the worst tile needs 2-3×). 0 disables the
+    # split (single launch at raycast_pages_per_tile).
+    raycast_pages_small: int = 16
     # NP: visible blocks considered by the page-list builder (visible_ids is
     # compacted, so this slices the nearest-allocated prefix; pages stream
     # from HBM in the kernel so there is NO VMEM pool limit — this only caps

@@ -1002,7 +1002,13 @@ def raycast_hash_pallas(
     ids = render_state.visible_ids[:NP]
     ids_c = jnp.clip(ids, 0, hp.n_entries - 1)
     ptr = vol.entry_ptr[ids_c]
-    bpos = vol.entry_pos[ids_c]
+    # flat component gathers (a [NP, 3] row gather pays the 3-wide
+    # minor-dim layout tax — PERF_NOTES layout rules)
+    bpos = (
+        vol.entry_pos[:, 0][ids_c],
+        vol.entry_pos[:, 1][ids_c],
+        vol.entry_pos[:, 2][ids_c],
+    )
     valid = (ids >= 0) & (ptr >= 0)
 
     # --- per-tile page lists; rays are generated in-kernel -----------------
@@ -1018,8 +1024,7 @@ def raycast_hash_pallas(
     cam = rk.make_cam_scalars(
         inv_M, proj, sp.view_frustum_min, sp.view_frustum_max, sp.voxel_size
     )
-    out = rk.raycast_tiles(
-        page_rows, page_key, cam, vol.vox,
+    kw = dict(
         t_march=settings.raycast_t_march,
         step_scale=sp.mu / sp.voxel_size,
         grid_dims=gp.dims, grid_origin=gp.origin,
@@ -1027,6 +1032,32 @@ def raycast_hash_pallas(
         block_size=hp.block_size,
         interpret=interpret,
     )
+    kp_s = settings.raycast_pages_small
+    kp_l = settings.raycast_pages_per_tile
+    if kp_s and kp_s < kp_l:
+        # tiered KP: most tiles' page lists fit a ~p80 bound — march them in
+        # a low-KP launch; the heavy tail gets the full-KP launch. Both
+        # launches use a DYNAMIC grid over an explicit tile list, then
+        # scatter their planes back (pad rows carry tile id NT → dropped).
+        nt = page_rows.shape[0]
+        counts = jnp.sum(page_rows >= 0, axis=1).astype(jnp.int32)
+        small = counts <= kp_s
+        tids_s = jnp.nonzero(small, size=nt, fill_value=nt)[0].astype(jnp.int32)
+        tids_l = jnp.nonzero(~small, size=nt, fill_value=nt)[0].astype(jnp.int32)
+        n_s = jnp.sum(small).astype(jnp.int32)
+        out_s = rk.raycast_tiles(
+            page_rows, page_key, cam, vol.vox,
+            kp=kp_s, tile_ids=tids_s, n_tiles=n_s, **kw,
+        )
+        out_l = rk.raycast_tiles(
+            page_rows, page_key, cam, vol.vox,
+            kp=kp_l, tile_ids=tids_l, n_tiles=nt - n_s, **kw,
+        )
+        out = jnp.zeros((nt, 8, rk.NRAY), jnp.float32)
+        out = out.at[tids_s].set(out_s, mode="drop")
+        out = out.at[tids_l].set(out_l, mode="drop")
+    else:
+        out = rk.raycast_tiles(page_rows, page_key, cam, vol.vox, **kw)
     px = rk.untileize(out[:, 0, :], img_size)
     py = rk.untileize(out[:, 1, :], img_size)
     pz = rk.untileize(out[:, 2, :], img_size)

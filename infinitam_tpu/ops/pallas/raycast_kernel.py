@@ -75,14 +75,17 @@ def _cell_key(bx, by, bz, grid_dims, grid_origin):
 
 
 def _raycast_kernel(
-    page_rows_ref,  # scalar-prefetch SMEM [NT·KP] int32 — VBA rows (−1 empty)
-    page_key_ref,  # scalar-prefetch SMEM [NT·KP] int32 — cell keys (−2 empty)
+    page_rows_ref,  # scalar-prefetch SMEM [NT·KPS] int32 — VBA rows (−1 empty)
+    page_key_ref,  # scalar-prefetch SMEM [NT·KPS] int32 — cell keys (−2 empty)
     #   (flat 1-D: a [1200,48] operand lane-pads in SMEM to 600 KB; two of
     #   them blow the 1 MB SMEM budget — flat costs the true 230 KB each)
     cam_ref,  # scalar-prefetch SMEM [19] f32 — fx,fy,cx,cy,zmin,zmax,1/vox,
     #   inv-pose R row-major (9), inv-pose t (3); rays are generated
     #   IN-KERNEL from these (the XLA-side ray build + 8-plane tileize cost
     #   3 ms and 10 MB of HBM traffic per frame)
+    tile_ids_ref,  # scalar-prefetch SMEM [cap] int32 — tile handled by each
+    #   grid step (r5 tiered-KP indirection: grid step g marches tile
+    #   tile_ids[g]; identity when untiered)
     vox_ref,  # ANY/HBM (B, 512) int32 — the live VBA (packed voxels)
     out_ref,  # VMEM (1, 8, 256) f32 — px,py,pz,found,t*,sdf,...
     pages_dbuf,  # scratch VMEM (2·KP·8, 512) int32 — DMA double buffer
@@ -94,7 +97,8 @@ def _raycast_kernel(
     t_out_s,  # scratch VMEM (KP, 256) f32 — per-page per-ray slab exit
     sems,  # DMA semaphores (2,)
     *,
-    kp: int,
+    kp: int,  # pages marched per tile (this launch's tier)
+    kp_stride: int,  # page-list row stride (the build KP; ≥ kp)
     t_march: int,
     step_scale: float,
     grid_dims: Tuple[int, int, int],
@@ -106,17 +110,18 @@ def _raycast_kernel(
     S2 = S * S
     gx_d, gy_d, gz_d = grid_dims
     ox_g, oy_g, oz_g = grid_origin
-    ti = pl.program_id(0)
-    nt = pl.num_programs(0)
+    g = pl.program_id(0)
+    ng = pl.num_programs(0)
+    ti = tile_ids_ref[g]
 
     # ---- double-buffered page streaming from the HBM voxel array ----------
     # HBM rows are (8,128)-tiled, so a DMA slice must cover 8 aligned
     # sublanes: fetch the aligned 8-row group around each page (16 KB) and
     # select the row in VMEM. All KP copies of a tile accumulate on the
-    # slot's semaphore and are waited in issue order. Tile i+1's copies start
-    # before tile i's march so the fetches ride under the compute.
+    # slot's semaphore and are waited in issue order. Step g+1's copies start
+    # before step g's march so the fetches ride under the compute.
     def page_dma(slot, tile, k):
-        row = jnp.maximum(page_rows_ref[tile * kp + k], 0)
+        row = jnp.maximum(page_rows_ref[tile * kp_stride + k], 0)
         row8 = pl.multiple_of((row >> 3) << 3, 8)
         return pltpu.make_async_copy(
             vox_ref.at[pl.ds(row8, 8), :],
@@ -128,15 +133,15 @@ def _raycast_kernel(
         for k in range(kp):
             page_dma(slot, tile, k).start()
 
-    slot = jax.lax.rem(ti, 2)
+    slot = jax.lax.rem(g, 2)
 
-    @pl.when(ti == 0)
+    @pl.when(g == 0)
     def _():
-        issue(0, 0)
+        issue(0, ti)
 
-    @pl.when(ti + 1 < nt)
+    @pl.when(g + 1 < ng)
     def _():
-        issue(jax.lax.rem(ti + 1, 2), ti + 1)
+        issue(jax.lax.rem(g + 1, 2), tile_ids_ref[g + 1])
 
     for k in range(kp):
         page_dma(slot, ti, k).wait()
@@ -195,8 +200,8 @@ def _raycast_kernel(
         return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
 
     for k in range(kp):
-        key = page_key_ref[ti * kp + k]
-        row = jnp.maximum(page_rows_ref[ti * kp + k], 0)
+        key = page_key_ref[ti * kp_stride + k]
+        row = jnp.maximum(page_rows_ref[ti * kp_stride + k], 0)
         pages_cur[pl.ds(k, 1), :] = pages_dbuf[
             pl.ds((slot * kp + k) * 8 + jax.lax.rem(row, 8), 1), :
         ]
@@ -456,8 +461,8 @@ def make_cam_scalars(
 
 
 def raycast_tiles(
-    page_rows: jnp.ndarray,  # [NT, KP] int32 — VBA row per page (−1 empty)
-    page_key: jnp.ndarray,  # [NT, KP] int32
+    page_rows: jnp.ndarray,  # [NT, KPS] int32 — VBA row per page (−1 empty)
+    page_key: jnp.ndarray,  # [NT, KPS] int32
     cam: jnp.ndarray,  # [19] f32 — see make_cam_scalars
     vox: jnp.ndarray,  # [B, 512] int32 — the live packed VBA (stays in HBM)
     *,
@@ -468,13 +473,33 @@ def raycast_tiles(
     tiles_w: int,
     block_size: int = 8,
     interpret: bool = False,
+    kp: int | None = None,  # pages marched per tile (≤ KPS; default KPS)
+    tile_ids: jnp.ndarray | None = None,  # [cap] int32 tile per grid step
+    n_tiles=None,  # dynamic live-step count (traced; default cap)
 ) -> jnp.ndarray:
-    """Run the tile raycast kernel → [NT, 8, 256] f32 output planes."""
-    nt, kp = page_rows.shape
+    """Run the tile raycast kernel → [cap, 8, 256] f32 output planes
+    (cap = len(tile_ids), default NT with identity mapping).
+
+    Tiered launch (r5): march cost scales with KP, but page counts are
+    heavy-tailed (5 mm: mean ~19, p80 ~23, max ~39 vs the worst-case KP=64
+    round 4 paid everywhere). Callers partition tiles by page count and run
+    this twice — a low-KP launch over most tiles and a high-KP launch over
+    the tail — via `tile_ids` indirection + a DYNAMIC grid (`n_tiles`), the
+    same pattern as the integrate kernel's two-tier windows. Rows beyond
+    n_tiles are unwritten; callers scatter with padded tile_ids (mode=drop)
+    so they never land."""
+    nt, kp_stride = page_rows.shape
+    if kp is None:
+        kp = kp_stride
+    if tile_ids is None:
+        tile_ids = jnp.arange(nt, dtype=jnp.int32)
+    cap = tile_ids.shape[0]
+    grid = (cap,) if n_tiles is None else (jnp.minimum(n_tiles, cap),)
     nb, s3 = vox.shape
     kernel = functools.partial(
         _raycast_kernel,
         kp=kp,
+        kp_stride=kp_stride,
         t_march=t_march,
         step_scale=step_scale,
         grid_dims=grid_dims,
@@ -483,8 +508,8 @@ def raycast_tiles(
         tiles_w=tiles_w,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # page_rows, page_key, cam live whole in SMEM
-        grid=(nt,),
+        num_scalar_prefetch=4,  # page_rows, page_key, cam, tile_ids in SMEM
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # VBA stays in HBM; row DMAs
         ],
@@ -501,10 +526,13 @@ def raycast_tiles(
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nt, 8, NRAY), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((cap, 8, NRAY), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(page_rows.reshape(-1), page_key.reshape(-1), cam, vox)
+    )(
+        page_rows.reshape(-1), page_key.reshape(-1), cam,
+        tile_ids.astype(jnp.int32), vox,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -531,7 +559,9 @@ def untileize(rows: jnp.ndarray, img_size: Tuple[int, int], tile: int = TILE) ->
 
 
 def build_page_lists(
-    block_pos: jnp.ndarray,  # [NP, 3] int32 block coords of the candidates
+    block_pos,  # [NP, 3] int32 block coords, or a (bx, by, bz) tuple of
+    #   flat [NP] planes (preferred: a [NP, 3] row gather pays the 3-wide
+    #   minor-dim layout tax — PERF_NOTES layout rules)
     rows: jnp.ndarray,  # [NP] int32 VBA row of each candidate
     valid: jnp.ndarray,  # [NP] bool
     pose: jnp.ndarray,  # [4,4] world→camera
@@ -563,19 +593,25 @@ def build_page_lists(
     nt = th * tw
     gx_d, gy_d, gz_d = grid_dims
     ox, oy, oz = grid_origin
-    NP = block_pos.shape[0]
+    if isinstance(block_pos, tuple):
+        bxi, byi, bzi = block_pos
+    else:
+        bxi, byi, bzi = block_pos[:, 0], block_pos[:, 1], block_pos[:, 2]
+    NP = bxi.shape[0]
     fx, fy, cx, cy = proj[0], proj[1], proj[2], proj[3]
     factor = block_size * voxel_size
 
     # cell keys of the candidate blocks (−2 invalid)
-    g = block_pos - jnp.array([ox, oy, oz], dtype=jnp.int32)
+    gxc = bxi - ox
+    gyc = byi - oy
+    gzc = bzi - oz
     inb = (
         valid
-        & (g[:, 0] >= 0) & (g[:, 0] < gx_d)
-        & (g[:, 1] >= 0) & (g[:, 1] < gy_d)
-        & (g[:, 2] >= 0) & (g[:, 2] < gz_d)
+        & (gxc >= 0) & (gxc < gx_d)
+        & (gyc >= 0) & (gyc < gy_d)
+        & (gzc >= 0) & (gzc < gz_d)
     )
-    cell = (g[:, 0] * gy_d + g[:, 1]) * gz_d + g[:, 2]
+    cell = (gxc * gy_d + gyc) * gz_d + gzc
 
     # project the 8 corners → pixel bbox + near z. LAYOUT-CRITICAL: all math
     # runs on flat [NP] vectors (lane dim = NP); [NP, 3]/[NP, 8] shapes pad
@@ -583,9 +619,9 @@ def build_page_lists(
     # 1.4 ms for 8 einsums on [8192, 3] — the whole function's budget).
     # Corner c projects as R·(b+c)·f + t = (R·b·f + t) + R·c·f: one block
     # transform plus a per-corner CONSTANT 3-vector.
-    bx = block_pos[:, 0].astype(jnp.float32) * factor
-    by = block_pos[:, 1].astype(jnp.float32) * factor
-    bz = block_pos[:, 2].astype(jnp.float32) * factor
+    bx = bxi.astype(jnp.float32) * factor
+    by = byi.astype(jnp.float32) * factor
+    bz = bzi.astype(jnp.float32) * factor
     R = pose[:3, :3]
     t = pose[:3, 3]
     px0 = R[0, 0] * bx + R[0, 1] * by + R[0, 2] * bz + t[0]
@@ -624,40 +660,72 @@ def build_page_lists(
     znear = jnp.maximum(zmin_c, 1e-3)
     live = inb & ~offscreen & (zmax_c > 0)
 
-    # rasterize: up to tb×tb (tile-unit) footprint per block, laid out
-    # [tb², NP] (lane dim NP — a [NP, tb, tb] layout pads tb to 128 lanes)
+    # rasterize: TWO-TIER footprint (r5; the flat tb×tb raster built a 295 k
+    # pair plane at the 5 mm config — the compaction alone cost ~2 ms).
+    # Most blocks project to ≤SMALL_TB×SMALL_TB tiles; the few bigger ones
+    # (near the camera) compact into their own tb×tb raster. Pair planes are
+    # laid [tbs², NP] (lane dim NP — a [NP, tb, tb] layout pads tb to 128
+    # lanes).
+    SMALL_TB = 3
     zq = jnp.clip(znear * (16383.0 / z_far), 0, 16383).astype(jnp.int32)
-    du = (jnp.arange(tb * tb, dtype=jnp.int32) // tb)[:, None]  # [tb², 1]
-    dv = (jnp.arange(tb * tb, dtype=jnp.int32) % tb)[:, None]
-    tu = t0u[None, :] + du  # [tb², NP]
-    tv = t0v[None, :] + dv
-    in_box = (tu <= t1u[None, :]) & (tv <= t1v[None, :]) & live[None, :]
-    tile_id = jnp.where(in_box, tv * tw + tu, nt)
+    iota_np = jnp.arange(NP, dtype=jnp.int32)
+    du_c = t1u - t0u
+    dv_c = t1v - t0v
+    is_large = live & ((du_c >= SMALL_TB) | (dv_c >= SMALL_TB))
+    LARGE_CAP = max(NP // 16, 128)
+    lsel = jnp.nonzero(is_large, size=LARGE_CAP, fill_value=NP)[0]
+    lsel_c = jnp.clip(lsel, 0, NP - 1)
+    l_overflow = jnp.maximum(jnp.sum(is_large) - LARGE_CAP, 0).astype(jnp.int32)
+
+    def pair_plane(t0u_t, t0v_t, t1u_t, t1v_t, ok_t, zq_t, rows_t, T):
+        duv = jnp.arange(T * T, dtype=jnp.int32)
+        du = (duv // T)[:, None]
+        dv = (duv % T)[:, None]
+        tu = t0u_t[None, :] + du  # [T², N]
+        tv = t0v_t[None, :] + dv
+        in_box = (tu <= t1u_t[None, :]) & (tv <= t1v_t[None, :]) & ok_t[None, :]
+        tile_id = jnp.where(in_box, tv * tw + tu, nt)
+        skey = (tile_id << 14) | zq_t[None, :]  # nt<2¹⁷ ⇒ fits int32
+        skey = jnp.where(in_box, skey, jnp.int32(0x7FFFFFFF))
+        rows_b = jnp.broadcast_to(rows_t[None, :], tile_id.shape)
+        return (
+            skey.reshape(-1), rows_b.reshape(-1),
+            in_box.reshape(-1), jnp.sum(in_box).astype(jnp.int32),
+        )
+
+    sk_s, rv_s, ib_s, np_s = pair_plane(
+        t0u, t0v,
+        jnp.minimum(t1u, t0u + SMALL_TB - 1), jnp.minimum(t1v, t0v + SMALL_TB - 1),
+        live & ~is_large, zq, iota_np, SMALL_TB,
+    )
+    sk_l, rv_l, ib_l, np_l = pair_plane(
+        t0u[lsel_c], t0v[lsel_c],
+        jnp.minimum(t1u[lsel_c], t0u[lsel_c] + tb - 1),
+        jnp.minimum(t1v[lsel_c], t0v[lsel_c] + tb - 1),
+        lsel < NP, zq[lsel_c], lsel_c, tb,
+    )
+    skey_raw = jnp.concatenate([sk_s, sk_l])
+    rowv_raw = jnp.concatenate([rv_s, rv_l])
+    in_box_raw = jnp.concatenate([ib_s, ib_l])
+    n_raw = skey_raw.shape[0]
+    n_pairs = np_s + np_l
 
     # near-first slot assignment: sort (tile, z) pairs, rank within tile.
-    # SORT-SIZE-CRITICAL: sorting the raw NP·tb² pair array (~300 k, mostly
-    # inactive) measured ~9 ms on v5e — compact the ACTIVE pairs (Σ over
-    # blocks of covered tiles, a few k) to a static cap first; the sort,
-    # scan, and scatters then run on ~16 k elements. Pairs beyond the cap are
-    # dropped and counted in n_overflow.
-    skey = (tile_id << 14) | zq[None, :]  # nt<2¹⁷ ⇒ fits int32 (nt·2¹⁴)
-    skey = jnp.where(in_box, skey, jnp.int32(0x7FFFFFFF)).reshape(-1)
-    rowv = jnp.broadcast_to(
-        jnp.arange(NP, dtype=jnp.int32)[None, :], tile_id.shape
-    ).reshape(-1)
-    n_raw = skey.shape[0]
+    # SORT-SIZE-CRITICAL: compact the ACTIVE pairs to a static cap first
+    # (measured ~9 ms to sort a 300 k raw plane); the sort, scan, and
+    # scatters then run on ~32 k elements. Pairs beyond the cap are dropped
+    # and counted in n_overflow.
     # sized for dense-visibility configs: 5 mm voxels see ~8.5 k blocks ×
     # ~3 tiles ≈ 25 k pairs — cap must stay above that or near pages drop
     cap = min(n_raw, max(16384, (nt * kp) // 2))
-    n_pairs = jnp.sum(in_box).astype(jnp.int32)
-    sel = jnp.nonzero(in_box.reshape(-1), size=cap, fill_value=n_raw)[0]
-    sel_c = jnp.clip(sel, 0, n_raw - 1)
-    skey = jnp.where(sel < n_raw, skey[sel_c], jnp.int32(0x7FFFFFFF))
-    rowv = rowv[sel_c]
+    pos = jnp.cumsum(in_box_raw.astype(jnp.int32)) - 1
+    dst = jnp.where(in_box_raw & (pos < cap), pos, cap)
+    skey = jnp.full((cap,), jnp.int32(0x7FFFFFFF)).at[dst].set(
+        skey_raw, mode="drop"
+    )
+    rowv = jnp.zeros((cap,), jnp.int32).at[dst].set(rowv_raw, mode="drop")
 
-    order = jnp.argsort(skey)
-    skey_s = skey[order]
-    rows_s = rowv[order]
+    skey_s, rows_s = jax.lax.sort_key_val(skey, rowv)
     tile_s = jnp.where(skey_s == 0x7FFFFFFF, nt, skey_s >> 14)
     n = tile_s.shape[0]
     iarr = jnp.arange(n, dtype=jnp.int32)
@@ -668,6 +736,7 @@ def build_page_lists(
     n_overflow = (
         jnp.sum((tile_s < nt) & (rank >= kp)).astype(jnp.int32)
         + jnp.maximum(n_pairs - cap, 0)
+        + l_overflow  # large-footprint blocks beyond the compaction cap
     )
     flat_dst = jnp.where(dst_ok, tile_s * kp + rank, nt * kp)
 

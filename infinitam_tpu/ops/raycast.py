@@ -267,6 +267,74 @@ def refine_ranges_from_coarse(
     return zmin, zmax
 
 
+def _normals_planes(
+    px: jnp.ndarray,  # [H,W] raycast point components, voxel units
+    py: jnp.ndarray,
+    pz: jnp.ndarray,
+    found: jnp.ndarray,  # [H,W] bool
+    voxel_size: float,
+    light_source: jnp.ndarray,  # [3]
+    use_smoothing: bool = True,
+):
+    """Core of compute_normals_image_space on component PLANES — every op
+    is a full-[H,W] VPU pass. The channel-last [H,W,4] formulation put the
+    4-wide minor dim in the 128-lane axis and poisoned the layout of the
+    whole raycast→maps chain (~7 ms/frame at 640×480 — PERF_NOTES layout
+    rules). Returns (nx, ny, nz, angle, valid)."""
+    H, W = px.shape
+
+    def sh(a, dy, dx):
+        return jnp.roll(a, shift=(-dy, -dx), axis=(0, 1))
+
+    def diffs(d):
+        ok = sh(found, 0, d) & sh(found, 0, -d) & sh(found, d, 0) & sh(found, -d, 0)
+        dxx = sh(px, 0, d) - sh(px, 0, -d)
+        dxy = sh(py, 0, d) - sh(py, 0, -d)
+        dxz = sh(pz, 0, d) - sh(pz, 0, -d)
+        dyx = sh(px, d, 0) - sh(px, -d, 0)
+        dyy = sh(py, d, 0) - sh(py, -d, 0)
+        dyz = sh(pz, d, 0) - sh(pz, -d, 0)
+        return (dxx, dxy, dxz), (dyx, dyy, dyz), ok
+
+    if use_smoothing:
+        (dxx2, dxy2, dxz2), (dyx2, dyy2, dyz2), ok2 = diffs(2)
+        len_diff = jnp.maximum(
+            dxx2 * dxx2 + dxy2 * dxy2 + dxz2 * dxz2,
+            dyx2 * dyx2 + dyy2 * dyy2 + dyz2 * dyz2,
+        )
+        jump = len_diff * voxel_size * voxel_size > 0.15 * 0.15
+        (dxx1, dxy1, dxz1), (dyx1, dyy1, dyz1), ok1 = diffs(1)
+        use1 = ~ok2 | jump
+        dxx = jnp.where(use1, dxx1, dxx2)
+        dxy = jnp.where(use1, dxy1, dxy2)
+        dxz = jnp.where(use1, dxz1, dxz2)
+        dyx = jnp.where(use1, dyx1, dyx2)
+        dyy = jnp.where(use1, dyy1, dyy2)
+        dyz = jnp.where(use1, dyz1, dyz2)
+        ok = jnp.where(use1, ok1, ok2)
+        border = 3
+    else:
+        (dxx, dxy, dxz), (dyx, dyy, dyz), ok = diffs(1)
+        border = 2
+
+    # n = −(diff_x × diff_y), component-wise
+    nx = -(dxy * dyz - dxz * dyy)
+    ny = -(dxz * dyx - dxx * dyz)
+    nz = -(dxx * dyy - dxy * dyx)
+    norm = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    inv = 1.0 / jnp.maximum(norm, 1e-12)
+    nx = nx * inv
+    ny = ny * inv
+    nz = nz * inv
+    angle = nx * light_source[0] + ny * light_source[1] + nz * light_source[2]
+
+    xs = jnp.arange(W)[None, :]
+    ys = jnp.arange(H)[:, None]
+    in_border = (xs > border - 1) & (xs < W - border) & (ys > border - 1) & (ys < H - border)
+    valid = found & ok & (angle > 0) & in_border & (norm > 0)
+    return nx, ny, nz, angle, valid
+
+
 def compute_normals_image_space(
     points_ray: jnp.ndarray,  # [H,W,4] raycast result, voxel units
     voxel_size: float,
@@ -277,48 +345,12 @@ def compute_normals_image_space(
     smoothing and ±1px fallback on large jumps (reference:
     computeNormalAndAngle<useSmoothing>, ITMVisualisationEngine.h:191-255).
 
-    Returns (normals [H,W,3], angle [H,W], valid [H,W]).
-    """
-    H, W = points_ray.shape[:2]
-    found = points_ray[..., 3] > 0
-
-    def shifted(dy, dx):
-        return jnp.roll(points_ray, shift=(-dy, -dx), axis=(0, 1))
-
-    def diffs(d):
-        xp = shifted(0, d)
-        xm = shifted(0, -d)
-        yp = shifted(d, 0)
-        ym = shifted(-d, 0)
-        ok = (xp[..., 3] > 0) & (xm[..., 3] > 0) & (yp[..., 3] > 0) & (ym[..., 3] > 0)
-        return xp[..., :3] - xm[..., :3], yp[..., :3] - ym[..., :3], ok
-
-    if use_smoothing:
-        dx2, dy2, ok2 = diffs(2)
-        len_diff = jnp.maximum(
-            jnp.sum(dx2 * dx2, axis=-1), jnp.sum(dy2 * dy2, axis=-1)
-        )
-        jump = len_diff * voxel_size * voxel_size > 0.15 * 0.15
-        dx1, dy1, ok1 = diffs(1)
-        use1 = ~ok2 | jump
-        diff_x = jnp.where(use1[..., None], dx1, dx2)
-        diff_y = jnp.where(use1[..., None], dy1, dy2)
-        ok = jnp.where(use1, ok1, ok2)
-        border = 3
-    else:
-        diff_x, diff_y, ok = diffs(1)
-        border = 2
-
-    n = -jnp.cross(diff_x, diff_y)
-    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    n = n / jnp.maximum(norm, 1e-12)
-    angle = jnp.einsum("hwi,i->hw", n, light_source)
-
-    xs = jnp.arange(W)[None, :]
-    ys = jnp.arange(H)[:, None]
-    in_border = (xs > border - 1) & (xs < W - border) & (ys > border - 1) & (ys < H - border)
-    valid = found & ok & (angle > 0) & in_border & (norm[..., 0] > 0)
-    return n, angle, valid
+    Returns (normals [H,W,3], angle [H,W], valid [H,W])."""
+    nx, ny, nz, angle, valid = _normals_planes(
+        points_ray[..., 0], points_ray[..., 1], points_ray[..., 2],
+        points_ray[..., 3] > 0, voxel_size, light_source, use_smoothing,
+    )
+    return jnp.stack([nx, ny, nz], axis=-1), angle, valid
 
 
 def make_icp_maps(
@@ -329,15 +361,37 @@ def make_icp_maps(
     """Build the tracker's target maps from a raycast (reference:
     renderICP_device / processPixelICP): points in metres (w=1 valid) and
     world-frame unit normals (w=1 valid); invalid pixels get w=-1.
-    """
+
+    All internal math runs on component planes; the [H,W,4] maps are
+    assembled by ONE stack each at the end."""
     light_source = -inv_M[:3, 2] / jnp.linalg.norm(inv_M[:3, 2])
-    normals, _angle, valid = compute_normals_image_space(
-        raycast.points, voxel_size, light_source, use_smoothing=True
+    px = raycast.points[..., 0]
+    py = raycast.points[..., 1]
+    pz = raycast.points[..., 2]
+    found = raycast.points[..., 3] > 0
+    nx, ny, nz, _angle, valid = _normals_planes(
+        px, py, pz, found, voxel_size, light_source, use_smoothing=True
     )
-    pts_m = raycast.points[..., :3] * voxel_size
-    w = jnp.where(valid, 1.0, -1.0)[..., None]
-    points_map = jnp.concatenate([jnp.where(valid[..., None], pts_m, 0.0), w], axis=-1)
-    normals_map = jnp.concatenate([jnp.where(valid[..., None], normals, 0.0), w], axis=-1)
+    w = jnp.where(valid, 1.0, -1.0)
+    z = jnp.zeros_like(px)
+    points_map = jnp.stack(
+        [
+            jnp.where(valid, px * voxel_size, z),
+            jnp.where(valid, py * voxel_size, z),
+            jnp.where(valid, pz * voxel_size, z),
+            w,
+        ],
+        axis=-1,
+    )
+    normals_map = jnp.stack(
+        [
+            jnp.where(valid, nx, z),
+            jnp.where(valid, ny, z),
+            jnp.where(valid, nz, z),
+            w,
+        ],
+        axis=-1,
+    )
     return points_map, normals_map
 
 

@@ -181,8 +181,8 @@ class Settings:
     # is counted in FrameDiagnostics.n_render_overflow.
     raycast_page_blocks: int = 4096
     # Flagship Pallas integrate kernel (ops/pallas/integrate_kernel.py): one
-    # grid step per visible block, in-place packed-row write-back. Used on
-    # TPU for depth-only fusion; color fusion and CPU fall back to the XLA
+    # grid step per visible block, in-place packed-row write-back; fuses
+    # depth AND (since r4) color on TPU. CPU (tests) falls back to the XLA
     # gather→update→scatter path.
     use_pallas_integrate: bool = True
     tracking: TrackingParams = TrackingParams()

@@ -28,6 +28,38 @@ from infinitam_tpu.ops import raycast as rc
 from infinitam_tpu.utils import se3
 
 
+class LazyDiag:
+    """Mapping view over the device-side FrameDiagnostics pytree.
+
+    Conversion to host scalars happens ONLY on access: on the axon tunnel a
+    single device→host transfer permanently degrades every later dispatch to
+    ~3.6 ms (PERF_NOTES), so the per-frame hot path must never force one
+    (VERDICT r4 item 6). Callers that want numbers index it like the old
+    dict (`diag["num_valid"]`, `.get(...)`) and pay the transfer knowingly;
+    `device` exposes the raw pytree for fully on-device consumers."""
+
+    def __init__(self, d):
+        self.device = d
+
+    def _host(self, k):
+        v = getattr(self.device, k)
+        return float(v) if k == "f" else int(v)
+
+    def __getitem__(self, k):
+        return self._host(k)
+
+    def get(self, k, default=None):
+        if k not in self.device._fields:
+            return default
+        return self._host(k)
+
+    def keys(self):
+        return self.device._fields
+
+    def as_dict(self):
+        return {k: self._host(k) for k in self.device._fields}
+
+
 class MainEngine:
     """Stateful façade over the functional pipeline (host-side bookkeeping,
     device-side pytrees)."""
@@ -135,17 +167,12 @@ class MainEngine:
             self.vol, self.swap_states, host_job = sw.swap_out_device(
                 self.vol, self.swap_states, self.render_state, self.settings
             )
-            self.tracking_state = hp.step_prepare(
+            self.tracking_state, n_pool = hp.step_prepare(
                 self.vol, self.render_state, self.tracking_state, view, pose, tr,
                 self.proj, self.settings, self.proj_rgb, self.rgb_to_depth,
             )
             host_job(self.global_cache)
-            diag = {
-                "f": float(d.f),
-                "num_valid": int(d.num_valid),
-                "n_visible": int(d.n_visible),
-                "n_free_blocks": int(d.n_free_blocks),
-            }
+            d = d._replace(n_pool_overflow=n_pool)
         else:
             (self.vol, self.render_state, self.tracking_state, d) = hp.process_frame_hash(
                 self.vol,
@@ -159,14 +186,10 @@ class MainEngine:
                 rgb_to_depth=self.rgb_to_depth,
                 external_pose=external_pose,
             )
-            diag = {
-                "f": float(d.f),
-                "num_valid": int(d.num_valid),
-                "n_visible": int(d.n_visible),
-                "n_free_blocks": int(d.n_free_blocks),
-            }
         self.frame_no += 1
-        return diag
+        # device-side pytree wrapped for lazy host access — the frame path
+        # itself performs NO device→host transfer (VERDICT r4 item 6)
+        return LazyDiag(d)
 
     # ----- outputs (reference: GetImage, UpdateMesh) ---------------------
     def get_pose(self) -> np.ndarray:

@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 # down to z ≈ 0.29 m at f=525 / 8 cm blocks — below the 0.35 m frustum min
 # of every shipped config. Blocks closer than that lose the voxels that
 # project outside the window for the frame (counted per frame in
-# FrameDiagnostics.n_window_risk via block_windows' clipped flag).
+# FrameDiagnostics.n_window_clipped via block_windows' clipped flag).
 WU_MAX = 256
 WV_MAX = 384
 # small-tier window (integrate_into_scene_pallas partitions blocks by

@@ -72,7 +72,7 @@ def test_pallas_raycast_matches_oracle():
     pose = jnp.eye(4)
 
     oracle = hp.raycast_hash(vol, rs, pose, proj, IMG, settings)  # CPU → XLA path
-    kern = hp.raycast_hash_pallas(vol, rs, pose, proj, IMG, settings, interpret=True)
+    kern, _ovf = hp.raycast_hash_pallas(vol, rs, pose, proj, IMG, settings, interpret=True)
 
     f_o = np.asarray(oracle.points[..., 3]) > 0
     f_k = np.asarray(kern.points[..., 3]) > 0
@@ -106,7 +106,7 @@ def test_pallas_raycast_depth_consistency():
     """Kernel hits must reproduce the fused synthetic depth."""
     settings = make_settings()
     depth, proj, vol, rs = fused_scene(settings)
-    kern = hp.raycast_hash_pallas(vol, rs, jnp.eye(4), proj, IMG, settings, interpret=True)
+    kern, _ovf = hp.raycast_hash_pallas(vol, rs, jnp.eye(4), proj, IMG, settings, interpret=True)
 
     found = np.asarray(kern.points[..., 3]) > 0
     gt_valid = np.asarray(depth) > 0

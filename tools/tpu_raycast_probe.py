@@ -54,7 +54,7 @@ def main():
     jax.block_until_ready(state.pose)
     pose = state.pose
 
-    ray_pl = jax.jit(lambda v, r: hp.raycast_hash_pallas(v, r, pose, proj, img, settings))
+    ray_pl = jax.jit(lambda v, r: hp.raycast_hash_pallas(v, r, pose, proj, img, settings)[0])
     res = timeit("raycast_hash_pallas", ray_pl, vol, rs)
     found = jnp.mean((res.points[..., 3] > 0).astype(jnp.float32))
     print("found frac:", float(found))

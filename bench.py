@@ -92,20 +92,29 @@ def teddy_1cm_settings() -> Settings:
     )
 
 
-def run_config(settings: Settings):
+def run_config(settings: Settings, with_color: bool = False):
     from infinitam_tpu.config import assert_alloc_stride_safe
 
     calib = default_calib(IMG[1], IMG[0])
     assert_alloc_stride_safe(settings, calib.intrinsics_d.fx)
     proj = jnp.asarray(calib.intrinsics_d.vector)
-    src = synth.SyntheticSource(calib, n_frames=N_FRAMES, img_size=IMG)
+    src = synth.SyntheticSource(
+        calib, n_frames=N_FRAMES, img_size=IMG, with_rgb=with_color
+    )
     frames = [src.get_images() for _ in range(N_FRAMES)]
     depths = jnp.asarray(np.stack([np.asarray(d) for d, _r, _g in frames]))
+    kw = {}
+    if with_color:
+        kw = dict(
+            rgbs=jnp.asarray(np.stack([np.asarray(r) for _d, r, _g in frames])),
+            proj_rgb=jnp.asarray(calib.intrinsics_rgb.vector),
+            rgb_to_depth=jnp.asarray(calib.rgb_to_depth),
+        )
 
     # correctness + compile run: the full replay from a fresh map
     vol, rs, state = hp.create_engine_state(settings, IMG)
     vol, rs, state, poses, diags = hp.process_sequence_hash(
-        vol, rs, state, depths, proj, settings
+        vol, rs, state, depths, proj, settings, **kw
     )
     jax.block_until_ready(poses)
 
@@ -115,7 +124,7 @@ def run_config(settings: Settings):
     jax.block_until_ready(vol2.vox)
     t0 = time.perf_counter()
     _v, _r, _s, poses2, _d2 = hp.process_sequence_hash(
-        vol2, rs2, state2, depths, proj, settings
+        vol2, rs2, state2, depths, proj, settings, **kw
     )
     jax.block_until_ready(poses2)
     dt = time.perf_counter() - t0
@@ -157,41 +166,65 @@ def run_config(settings: Settings):
     return fps, ate_rmse, rot_rmse_deg, diag_str
 
 
+def run_swap_ratio():
+    """Swap-tier overhead: per-frame-dispatch fps with and without the host
+    swap exchange at the 1 cm operating point. Both paths pay the same axon
+    per-dispatch overhead, so the RATIO isolates the swap tier's cost
+    (VERDICT r3 item 8 / r4 item 5b: recorded in the default bench JSON)."""
+    from infinitam_tpu.config import SwappingMode
+    from infinitam_tpu.engine.main_engine import MainEngine
+
+    calib = default_calib(IMG[1], IMG[0])
+    N_SW = 46
+    N_WARM_SW = 14  # long warmup: covers the exchange's program variants
+    res = {}
+    for tag, mode in (("noswap", SwappingMode.DISABLED),
+                      ("swap", SwappingMode.ENABLED)):
+        settings = teddy_1cm_settings().replace(swapping_mode=mode)
+        eng = MainEngine(settings, calib, IMG)
+        src = synth.SyntheticSource(calib, n_frames=N_SW, img_size=IMG)
+        frames = [src.get_images() for _ in range(N_SW)]
+        for d, _r, _g in frames[:N_WARM_SW]:
+            eng.process_frame(metric_depth=d)
+        jax.block_until_ready(eng.tracking_state.pose)
+        # windowed timing: syncing every frame would serialize the pipelined
+        # exchange (its host halves overlap later frames' device work);
+        # 8-frame windows keep the pipeline intact and the median window
+        # rejects tunnel hiccups + one-time program-variant compiles
+        W = 8
+        times = []
+        rest = frames[N_WARM_SW:]
+        for w0 in range(0, len(rest) - W + 1, W):
+            t0 = time.perf_counter()
+            for d, _r, _g in rest[w0:w0 + W]:
+                eng.process_frame(metric_depth=d)
+            jax.block_until_ready(eng.tracking_state.pose)
+            times.append((time.perf_counter() - t0) / W)
+        res[tag] = 1.0 / float(np.median(times))
+    return res["swap"] / res["noswap"], res["noswap"], res["swap"]
+
+
 def main():
     import os
 
-    only = os.environ.get("ITPU_BENCH_CONFIG", "")  # dev: "5mm" | "1cm" | "swap"
+    only = os.environ.get("ITPU_BENCH_CONFIG", "")  # dev: 5mm|1cm|color|swap
     if only == "swap":
-        # swap-tier overhead check (dev): per-frame-dispatch fps with and
-        # without the host swap exchange at the 1 cm operating point. Both
-        # paths pay the same axon per-dispatch overhead, so the RATIO
-        # isolates the swap tier's cost (VERDICT r3 item 8).
-        from infinitam_tpu.config import SwappingMode
-        from infinitam_tpu.engine.main_engine import MainEngine
-
-        calib = default_calib(IMG[1], IMG[0])
-        res = {}
-        for tag, mode in (("noswap", SwappingMode.DISABLED),
-                          ("swap", SwappingMode.ENABLED)):
-            settings = teddy_1cm_settings().replace(swapping_mode=mode)
-            eng = MainEngine(settings, calib, IMG)
-            src = synth.SyntheticSource(calib, n_frames=N_FRAMES, img_size=IMG)
-            frames = [src.get_images() for _ in range(N_FRAMES)]
-            for d, _r, _g in frames[:4]:  # warm both programs
-                eng.process_frame(metric_depth=d)
-            t0 = time.perf_counter()
-            for d, _r, _g in frames[4:]:
-                eng.process_frame(metric_depth=d)
-            import jax as _j
-
-            _j.block_until_ready(eng.tracking_state.pose)
-            res[tag] = (N_FRAMES - 4) / (time.perf_counter() - t0)
-        ratio = res["swap"] / res["noswap"]
+        ratio, fps_ns, fps_sw = run_swap_ratio()
         print(json.dumps({"metric": "swap-mode fps ratio (dev)",
                           "value": round(ratio, 3), "unit": "x",
                           "vs_baseline": round(ratio / 0.85, 3),
-                          "fps_noswap": round(res["noswap"], 2),
-                          "fps_swap": round(res["swap"], 2)}))
+                          "fps_noswap": round(fps_ns, 2),
+                          "fps_swap": round(fps_sw, 2)}))
+        return
+    if only == "color":
+        settings = teddy_1cm_settings().replace(use_color=True)
+        fps_c, ate_c, rot_c, diag_c = run_config(settings, with_color=True)
+        print(f"diag(color): {diag_c}", file=sys.stderr)
+        print(json.dumps({"metric": "fps @1cm+RGB fusion (dev)",
+                          "value": round(fps_c, 2), "unit": "frames/s",
+                          "vs_baseline": round(fps_c / 100, 3),
+                          "ate_rmse_m": round(ate_c, 5),
+                          "rot_rmse_deg": round(rot_c, 3)}))
         return
     if only == "1cm":
         fps_1cm, ate_1cm, rot_1cm, diag_1cm = run_config(teddy_1cm_settings())
@@ -213,6 +246,11 @@ def main():
     print(f"diag(5mm): {diag_ref}", file=sys.stderr)
     fps_1cm, ate_1cm, rot_1cm, diag_1cm = run_config(teddy_1cm_settings())
     print(f"diag(1cm): {diag_1cm}", file=sys.stderr)
+    fps_c, ate_c, _rot_c, diag_c = run_config(
+        teddy_1cm_settings().replace(use_color=True), with_color=True
+    )
+    print(f"diag(1cm+rgb): {diag_c}", file=sys.stderr)
+    swap_ratio, _fns, _fsw = run_swap_ratio()
 
     diverged = not (ate_ref < 0.01 and rot_ref < 1.0)
     print(
@@ -228,6 +266,9 @@ def main():
                 "fps_1cm_voxel": round(fps_1cm, 2),
                 "ate_rmse_1cm_m": round(ate_1cm, 5),
                 "rot_rmse_1cm_deg": round(rot_1cm, 3),
+                "fps_1cm_rgb_fusion": round(fps_c, 2),
+                "ate_rmse_rgb_m": round(ate_c, 5),
+                "swap_fps_ratio": round(swap_ratio, 3),
             }
         )
     )

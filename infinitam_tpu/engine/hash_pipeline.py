@@ -1351,8 +1351,8 @@ def _track_fuse_impl(
             vol, render_state.visible_type, settings,
             visible_ids=render_state.visible_ids,
         )
-        swap_states = sw.mark_visible_for_swap(
-            swap_states, render_state.visible_type
+        swap_states = sw.mark_visible_for_swap_compact(
+            swap_states, render_state.visible_ids
         )
     n_window_clipped = jnp.int32(0)
     if fusion_active:
@@ -1569,6 +1569,89 @@ def step_track_fuse_swap(
     return vol, render_state, swap_states, pose, tr, diag
 
 
+@partial(jax.jit, static_argnames=("settings", "fusion_active"))
+def step_frame_swap(
+    vol: HashVolume,
+    render_state: RenderStateVH,
+    state: TrackingState,
+    swap_states: jnp.ndarray,
+    view: View,
+    proj: jnp.ndarray,
+    settings: Settings,
+    fusion_active: bool = True,
+    proj_rgb: jnp.ndarray | None = None,
+    rgb_to_depth: jnp.ndarray | None = None,
+    external_pose: jnp.ndarray | None = None,
+    merge_flips: jnp.ndarray | None = None,  # [Q+1] in-meta (ids, count)
+    merge_slab: jnp.ndarray | None = None,  # [D(+D)+1, S³] int32 data slab
+):
+    """ONE device program for the swap-mode fuse half (r5): resolution of
+    the PREVIOUS exchange's needed list (state flips + optional data-slab
+    merge — transfers sized to the actual stored data, which is usually
+    none) → the shared track→allocate→fuse orchestration → needed-list
+    build over the compact visible list → rotating-window eviction →
+    raycast prepare. The host exchange pipelines around it
+    (swapping.SwapExchange) — unlike the reference's synchronous per-frame
+    exchange, the swap path dispatches exactly ONE program per frame like
+    the non-swap path, and the steady-state exchange traffic is two ~1 KB
+    metadata copies per frame.
+
+    Returns (vol, render_state, new_tracking_state, swap_states, diag,
+    in_meta [Q+1] (ids, n), (ev_meta [Q+1], ev_sdf, ev_w, ev_clr, ev_wc))
+    — the eviction slabs stay device-side; the host copies them only after
+    learning n (SwapExchange stage B)."""
+    from infinitam_tpu.engine import swapping as sw
+
+    img_size = view.depth.shape
+    E = settings.hashing.n_entries
+    if merge_flips is not None:
+        # listed entries with no stored data resolve straight to state 2
+        # (merge_flips is an earlier frame's in_meta device buffer — the
+        # host never re-uploads it; the count row slices off here)
+        flips = merge_flips[:-1]
+        swap_states = swap_states.at[
+            jnp.where(flips >= 0, flips, E)
+        ].set(2, mode="drop")
+    if merge_slab is not None:
+        vol, swap_states = sw.merge_data_slab(
+            vol, swap_states, merge_slab, settings,
+            with_color=settings.use_color and vol.vox_rgb is not None,
+        )
+    (vol, render_state, swap_states, pose, tr, n_alloc_overflow, n_window_clipped) = (
+        _track_fuse_impl(
+            vol, render_state, state, view, proj, settings, fusion_active,
+            proj_rgb, rgb_to_depth, external_pose, swap_states=swap_states,
+        )
+    )
+    q = sw.exchange_quantum(settings)
+    in_ids, in_n, swap_states = sw.build_swap_in_list_visible(
+        swap_states, render_state.visible_ids, q
+    )
+    vol, swap_states, ev_ids, ev_sdf, ev_w, ev_clr, ev_wc, ev_n = (
+        sw.evict_blocks_window(
+            vol, swap_states, render_state.visible_type, settings, q,
+            render_state.epoch if render_state.epoch is not None
+            else jnp.int32(0),
+        )
+    )
+    new_state, n_pool = _prepare_impl(
+        vol, render_state, state, view, pose, tr, proj, settings,
+        proj_rgb, rgb_to_depth,
+    )
+    diag = _frame_diag(
+        vol, render_state, pose, proj, tr, settings,
+        n_alloc_overflow, n_window_clipped, img_size,
+        n_pool_overflow=n_pool,
+    )
+    in_meta = jnp.concatenate([in_ids, in_n[None]])
+    ev_meta = jnp.concatenate([ev_ids, ev_n[None]])
+    return (
+        vol, render_state, new_state, swap_states, diag,
+        in_meta,
+        (ev_meta, ev_sdf, ev_w, ev_clr, ev_wc),
+    )
+
+
 @partial(jax.jit, static_argnames=("settings",))
 def step_prepare(
     vol: HashVolume,
@@ -1599,27 +1682,38 @@ def process_sequence_hash(
     proj: jnp.ndarray,
     settings: Settings,
     fusion_active: bool = True,
+    rgbs: jnp.ndarray | None = None,  # [N, H, W, 3] float 0..1 (color fusion)
+    proj_rgb: jnp.ndarray | None = None,
+    rgb_to_depth: jnp.ndarray | None = None,
 ):
-    """Replay N depth frames as ONE on-device program (lax.scan over the
-    frame recursion). The per-frame math is identical to process_frame_hash —
-    the sequential track→fuse→raycast dependency is preserved by the scan
-    carry — but the host dispatches once per SEQUENCE instead of once per
-    frame. (Per-dispatch overhead measured ~3.6 ms on the axon tunnel after
-    any D2H transfer — PERF_NOTES.md; a live-camera deployment feeds frames
-    through a device-side ring buffer the same way.)
+    """Replay N depth (+ optional RGB) frames as ONE on-device program
+    (lax.scan over the frame recursion). The per-frame math is identical to
+    process_frame_hash — the sequential track→fuse→raycast dependency is
+    preserved by the scan carry — but the host dispatches once per SEQUENCE
+    instead of once per frame. (Per-dispatch overhead measured ~3.6 ms on
+    the axon tunnel after any D2H transfer — PERF_NOTES.md; a live-camera
+    deployment feeds frames through a device-side ring buffer the same way,
+    see io.sources.DeviceFrameFeed.)
+
+    With `rgbs` (and settings.use_color / a color tracker) the scan carries
+    the full RGB path — the r4 bench structurally could not run color fusion
+    (VERDICT r4 item 5a).
 
     Returns (vol, render_state, state, poses [N,4,4], diags [N,...])."""
 
-    def step(carry, depth):
+    def step(carry, frame):
         v, rs, st = carry
+        depth, rgb = frame if rgbs is not None else (frame, None)
         v, rs, st, diag = process_frame_hash(
-            v, rs, st, View(depth=depth), proj, settings,
+            v, rs, st, View(depth=depth, rgb=rgb), proj, settings,
             fusion_active=fusion_active,
+            proj_rgb=proj_rgb, rgb_to_depth=rgb_to_depth,
         )
         return (v, rs, st), (st.pose, diag)
 
+    xs = depths if rgbs is None else (depths, rgbs)
     (vol, render_state, state), (poses, diags) = jax.lax.scan(
-        step, (vol, render_state, state), depths
+        step, (vol, render_state, state), xs
     )
     return vol, render_state, state, poses, diags
 

@@ -82,6 +82,11 @@ class MainEngine:
         self.fusion_active = True  # reference: turnOnIntegration/turnOff
         self.main_processing = True
         self.frame_no = 0
+        # pipelined swap exchange (see SwapExchange): host halves of earlier
+        # frames complete while this frame's device programs run
+        self.swap_exchange = (
+            sw.SwapExchange(settings, settings.use_color) if self.swapping else None
+        )
 
     # ----- controls (reference: ITMMainEngine.h:95-117) ------------------
     def turn_on_integration(self):
@@ -103,6 +108,9 @@ class MainEngine:
         if self.swapping:
             self.swap_states = sw.create_swap_states(self.settings)
             self.global_cache = sw.GlobalCache.create(self.settings)
+            self.swap_exchange = sw.SwapExchange(
+                self.settings, self.settings.use_color
+            )
 
     # ----- per frame -----------------------------------------------------
     def process_frame(
@@ -140,39 +148,29 @@ class MainEngine:
             # Unified orchestration (reference: ITMDenseMapper runs the same
             # pipeline whatever the tracker): the device frame is the SAME
             # tracker-dispatch + divergence-gate + fusion as the non-swap
-            # path, split only around the host swap exchange.
-            (self.vol, self.render_state, self.swap_states, pose, tr, d) = (
-                hp.step_track_fuse_swap(
-                    self.vol,
-                    self.render_state,
-                    self.tracking_state,
-                    self.swap_states,
-                    view,
-                    self.proj,
-                    self.settings,
-                    self.fusion_active,
-                    self.proj_rgb,
-                    self.rgb_to_depth,
-                    external_pose if external_pose is not None
-                    else self.tracking_state.pose,
-                )
+            # path, with the exchange's device half FUSED into the frame
+            # program (step_frame_swap) and the host half pipelined a frame
+            # behind on landed copies (swapping.SwapExchange) — the frame
+            # never blocks on a current-frame device value.
+            m_flips, m_slab = self.swap_exchange.merge_args()
+            (self.vol, self.render_state, self.tracking_state,
+             self.swap_states, d, in_meta, out_pack) = hp.step_frame_swap(
+                self.vol,
+                self.render_state,
+                self.tracking_state,
+                self.swap_states,
+                view,
+                self.proj,
+                self.settings,
+                self.fusion_active,
+                self.proj_rgb,
+                self.rgb_to_depth,
+                external_pose if external_pose is not None
+                else self.tracking_state.pose,
+                merge_flips=m_flips,
+                merge_slab=m_slab,
             )
-            self.vol, self.swap_states = sw.swap_in(
-                self.vol, self.swap_states, self.global_cache, self.settings
-            )
-            # swap-latency hiding (SURVEY §7): run the eviction's DEVICE half,
-            # dispatch the raycast prepare (async), THEN do the host-store
-            # scatter — the D2H readback and numpy writes overlap the prepare
-            # program instead of serializing the frame.
-            self.vol, self.swap_states, host_job = sw.swap_out_device(
-                self.vol, self.swap_states, self.render_state, self.settings
-            )
-            self.tracking_state, n_pool = hp.step_prepare(
-                self.vol, self.render_state, self.tracking_state, view, pose, tr,
-                self.proj, self.settings, self.proj_rgb, self.rgb_to_depth,
-            )
-            host_job(self.global_cache)
-            d = d._replace(n_pool_overflow=n_pool)
+            self.swap_exchange.after_frame(in_meta, out_pack, self.global_cache)
         else:
             (self.vol, self.render_state, self.tracking_state, d) = hp.process_frame_hash(
                 self.vol,
@@ -190,6 +188,21 @@ class MainEngine:
         # device-side pytree wrapped for lazy host access — the frame path
         # itself performs NO device→host transfer (VERDICT r4 item 6)
         return LazyDiag(d)
+
+    def flush_swap(self):
+        """Drain the pipelined swap exchange (checkpoint save, shutdown):
+        complete the pending host halves and merges, then run one FULL-scan
+        eviction (the per-frame path scans a rotating window) so the volume
+        + global cache reflect every processed frame."""
+        if not self.swapping:
+            return
+        self.vol, self.swap_states = self.swap_exchange.flush(
+            self.vol, self.swap_states, self.global_cache
+        )
+        self.vol, self.swap_states = sw.swap_out(
+            self.vol, self.swap_states, self.render_state,
+            self.global_cache, self.settings,
+        )
 
     # ----- outputs (reference: GetImage, UpdateMesh) ---------------------
     def get_pose(self) -> np.ndarray:

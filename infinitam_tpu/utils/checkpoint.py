@@ -101,6 +101,9 @@ def validate_volume(vol, settings) -> None:
 
 def save_engine(path: str, engine) -> None:
     """Snapshot a MainEngine (device state + swap cache + counters)."""
+    if getattr(engine, "swapping", False):
+        # drain the pipelined exchange so the snapshot reflects every frame
+        engine.flush_swap()
     tree = {
         "vol": engine.vol,
         "render_state": engine.render_state,

@@ -165,3 +165,59 @@ def test_divergence_keeps_last_good_pose_and_map():
     from infinitam_tpu.utils import se3
     err = se3.se3_log(state.pose @ se3.invert(jnp.asarray(gt)))
     assert float(jnp.linalg.norm(err[:3])) < 0.05
+
+
+def test_compact_allocator_matches_legacy_oracle():
+    """Property test (ADVICE r4): the compact candidate-space allocator and
+    the legacy full-plane oracle must agree on WHAT exists — the allocated
+    block-position set and the visible-entry position set — over a replayed
+    sequence that includes out-of-grid geometry (a deliberately small
+    working grid pushes far scene content onto the hash-probe OOG path).
+    Per-frame winner election order may differ in contended buckets (both
+    paths defer losers to the next frame, like the reference's benign CUDA
+    race), so sets are compared with a small per-frame tolerance and
+    exactly at the end."""
+    from infinitam_tpu.config import BlockGridParams
+
+    settings = hash_settings().replace(
+        block_grid=BlockGridParams(dims=(12, 12, 12), origin=(-6, -6, 0)),
+    )
+    src = synth.SyntheticSource(CALIB, n_frames=5, img_size=IMG)
+    volC, rsC, _st = hp.create_engine_state(settings, IMG)
+    volL, rsL, _st = hp.create_engine_state(settings, IMG)
+    rsL = rsL._replace(cell_claim=None, entry_epoch=None, epoch=None)
+
+    def alloc_set(vol):
+        ptr = np.asarray(vol.entry_ptr)
+        pos = np.asarray(vol.entry_pos)
+        live = ptr >= 0
+        return set(map(tuple, pos[live]))
+
+    def vis_set(vol, rs):
+        ids = np.asarray(rs.visible_ids)
+        ids = ids[ids >= 0]
+        pos = np.asarray(vol.entry_pos)[ids]
+        return set(map(tuple, pos))
+
+    for i in range(5):
+        depth, _rgb, gt = src.get_images()
+        pose = jnp.asarray(gt)
+        volC, rsC, _ovC = hp.allocate_scene_from_depth(
+            volC, rsC, depth, pose, PROJ, settings
+        )
+        assert rsC.cell_claim is not None  # compact path taken
+        volL, rsL, _ovL = hp.allocate_scene_from_depth(
+            volL, rsL, depth, pose, PROJ, settings
+        )
+        aC, aL = alloc_set(volC), alloc_set(volL)
+        assert len(aC ^ aL) <= 4, f"frame {i}: alloc sets diverged by {len(aC ^ aL)}"
+        vC, vL = vis_set(volC, rsC), vis_set(volL, rsL)
+        assert len(vC ^ vL) <= 4, f"frame {i}: visible sets diverged by {len(vC ^ vL)}"
+        # the compact visible list must never contain a duplicate entry
+        ids = np.asarray(rsC.visible_ids)
+        ids = ids[ids >= 0]
+        assert len(ids) == len(set(ids.tolist())), "duplicate visible ids"
+
+    # converged: after the last frame both paths describe the same world
+    assert alloc_set(volC) == alloc_set(volL)
+    assert vis_set(volC, rsC) == vis_set(volL, rsL)

@@ -111,6 +111,9 @@ def test_e2e_with_swapping_tracks():
     engine.set_pose(away)
     engine.tracking_state = engine.tracking_state._replace(age=jnp.array(-1, jnp.int32))
     engine.process_frame(metric_depth=far_depth)
+    # the pipelined exchange lands evictions in the host store up to two
+    # frames later; flush_swap() drains it (the checkpoint/shutdown path)
+    engine.flush_swap()
     assert engine.global_cache.has_stored.sum() > 0, "nothing was evicted"
 
 

@@ -216,6 +216,37 @@ def main():
                           "fps_noswap": round(fps_ns, 2),
                           "fps_swap": round(fps_sw, 2)}))
         return
+    if only == "replay":
+        # real-FILE replay smoke (dev): the committed PGM fixtures through
+        # ImageFileReader → raw-depth conversion → full pipeline (VERDICT r4
+        # item 7 — the reference's own validation workflow)
+        from infinitam_tpu.config import tiny_test_settings
+        from infinitam_tpu.engine.main_engine import MainEngine
+        from infinitam_tpu.io.sources import ImageFileReader
+
+        fix = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tests", "fixtures", "replay")
+        src = ImageFileReader(os.path.join(fix, "calib.txt"), "",
+                              os.path.join(fix, "depth_%04i.pgm"))
+        gt = np.load(os.path.join(fix, "gt_poses.npy"))
+        img = (src.calib.intrinsics_d.height, src.calib.intrinsics_d.width)
+        eng = MainEngine(tiny_test_settings(), src.calib, img)
+        n = 0
+        t0 = time.perf_counter()
+        while src.has_more_images():
+            depth, _rgb = src.get_images()
+            eng.process_frame(raw_depth=depth)
+            n += 1
+        jax.block_until_ready(eng.tracking_state.pose)
+        dt = time.perf_counter() - t0
+        err = np.asarray(se3.se3_log(
+            jnp.asarray(eng.get_pose()) @ se3.invert(jnp.asarray(gt[-1]))))
+        print(json.dumps({"metric": "file replay smoke (dev)",
+                          "value": round(n / dt, 2), "unit": "frames/s",
+                          "vs_baseline": 1.0,
+                          "t_err_mm": round(float(np.linalg.norm(err[:3])) * 1e3, 2),
+                          "frames": n}))
+        return
     if only == "color":
         settings = teddy_1cm_settings().replace(use_color=True)
         fps_c, ate_c, rot_c, diag_c = run_config(settings, with_color=True)

@@ -313,3 +313,41 @@ class LiveSourceStub(ImageSourceEngine):
             "live camera sources are unavailable in this build; use "
             "ImageFileReader/TUMSource/SyntheticSource"
         )
+
+
+class DeviceFrameFeed(ImageSourceEngine):
+    """Device-side frame ring buffer (SURVEY §7 swap-latency hiding applied
+    to input; VERDICT r4 item 6 — the live-pipeline feed the bench's scan
+    replay models). Wraps any source and keeps the next `depth_frames`
+    frames UPLOADED ahead of the consumer: `jax.device_put` is
+    asynchronous, so frame k+1's H2D transfer rides under frame k's device
+    compute instead of serializing the live loop (the axon tunnel moves
+    ~100 MB/s, ~6-12 ms per 640×480 depth frame)."""
+
+    def __init__(self, inner: ImageSourceEngine, depth_frames: int = 3):
+        self.inner = inner
+        self.calib = inner.calib
+        self.depth_frames = depth_frames
+        self._q: list = []
+
+    def _fill(self) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        while len(self._q) < self.depth_frames and self.inner.has_more_images():
+            out = self.inner.get_images()
+            dev = tuple(
+                None if a is None else jax.device_put(jnp.asarray(a))
+                for a in out[:2]
+            )
+            self._q.append(dev + tuple(out[2:]))
+
+    def has_more_images(self) -> bool:
+        self._fill()
+        return len(self._q) > 0
+
+    def get_images(self):
+        self._fill()
+        if not self._q:
+            raise StopIteration
+        return self._q.pop(0)

@@ -88,8 +88,12 @@ def _raycast_kernel(
     #   tile_ids[g]; identity when untiered)
     vox_ref,  # ANY/HBM (B, 512) int32 — the live VBA (packed voxels)
     out_ref,  # VMEM (1, 8, 256) f32 — px,py,pz,found,t*,sdf,...
-    pages_dbuf,  # scratch VMEM (2·KP·8, 512) int32 — DMA double buffer
-    #   (8-row aligned groups; the page's row is selected at unpack time)
+    pages_dbuf0,  # scratch VMEM (KP·8, 512) int32 — DMA buffer, even tiles
+    pages_dbuf1,  # scratch VMEM (KP·8, 512) int32 — DMA buffer, odd tiles
+    #   (TWO separate arrays, not one double-width buffer: with a single
+    #   buffer Mosaic cannot prove the unpack's dynamic reads are disjoint
+    #   from the NEXT tile's in-flight DMA writes and serializes them —
+    #   measured +4.4 ms/frame at the 5 mm config)
     pages_cur,  # scratch VMEM (KP, 512) int32 — current tile's packed rows
     pages,  # scratch VMEM (KP, 512) bf16 — sdf bytes of the pages
     keys,  # scratch VMEM (KP, 256) int32
@@ -105,6 +109,7 @@ def _raycast_kernel(
     grid_origin: Tuple[int, int, int],
     block_size: int,
     tiles_w: int,
+    debug_skip: tuple = (),  # dev cost-attribution: 'dma'|'unpack'|'tri'
 ):
     S = block_size
     S2 = S * S
@@ -120,31 +125,55 @@ def _raycast_kernel(
     # select the row in VMEM. All KP copies of a tile accumulate on the
     # slot's semaphore and are waited in issue order. Step g+1's copies start
     # before step g's march so the fetches ride under the compute.
-    def page_dma(slot, tile, k):
+    def page_dma(buf, slot, tile, k):
         row = jnp.maximum(page_rows_ref[tile * kp_stride + k], 0)
         row8 = pl.multiple_of((row >> 3) << 3, 8)
         return pltpu.make_async_copy(
             vox_ref.at[pl.ds(row8, 8), :],
-            pages_dbuf.at[pl.ds((slot * kp + k) * 8, 8), :],
+            buf.at[pl.ds(k * 8, 8), :],
             sems.at[slot],
         )
 
-    def issue(slot, tile):
+    def issue(buf, slot, tile):
         for k in range(kp):
-            page_dma(slot, tile, k).start()
+            page_dma(buf, slot, tile, k).start()
 
     slot = jax.lax.rem(g, 2)
+    even = slot == 0
 
-    @pl.when(g == 0)
-    def _():
-        issue(0, ti)
+    if "dma" not in debug_skip:
+        @pl.when(g == 0)
+        def _():
+            issue(pages_dbuf0, 0, ti)
 
-    @pl.when(g + 1 < ng)
-    def _():
-        issue(jax.lax.rem(g + 1, 2), tile_ids_ref[g + 1])
+        @pl.when((g + 1 < ng) & even)
+        def _():
+            issue(pages_dbuf1, 1, tile_ids_ref[g + 1])
 
-    for k in range(kp):
-        page_dma(slot, ti, k).wait()
+        @pl.when((g + 1 < ng) & ~even)
+        def _():
+            issue(pages_dbuf0, 0, tile_ids_ref[g + 1])
+
+        # wait + unpack under the parity branch so the waits/reads name the
+        # SAME buffer the starts wrote (correct ordering, provable disjoint
+        # from the other parity's in-flight prefetch)
+        def drain(buf, s):
+            for k in range(kp):
+                page_dma(buf, s, ti, k).wait()
+            if "unpack" not in debug_skip:
+                for k in range(kp):
+                    row = jnp.maximum(page_rows_ref[ti * kp_stride + k], 0)
+                    pages_cur[pl.ds(k, 1), :] = buf[
+                        pl.ds(k * 8 + jax.lax.rem(row, 8), 1), :
+                    ]
+
+        @pl.when(even)
+        def _():
+            drain(pages_dbuf0, 0)
+
+        @pl.when(~even)
+        def _():
+            drain(pages_dbuf1, 1)
 
     # ---- in-kernel ray generation ----------------------------------------
     # pixel (u, v) of each of the 256 lanes (row-major within the tile, the
@@ -201,10 +230,6 @@ def _raycast_kernel(
 
     for k in range(kp):
         key = page_key_ref[ti * kp_stride + k]
-        row = jnp.maximum(page_rows_ref[ti * kp_stride + k], 0)
-        pages_cur[pl.ds(k, 1), :] = pages_dbuf[
-            pl.ds((slot * kp + k) * 8 + jax.lax.rem(row, 8), 1), :
-        ]
         keys[pl.ds(k, 1), :] = jnp.full((1, NRAY), key, jnp.int32)
 
     pages[:] = (pages_cur[:] >> 24).astype(jnp.bfloat16)
@@ -332,7 +357,27 @@ def _raycast_kernel(
     # a voxel at block seams (measured on a flat-wall scene); corners in
     # neither block (unpaged diagonal neighbors — rare) drop out and the
     # value renormalizes by the included weight.
+    # per-voxel axis indices of the 512 lanes and the "local 0" compare —
+    # CONSTANT [512/8, 256] planes hoisted out of both refinement rounds
+    xi_l = iota_l & 7
+    yi_l = (iota_l >> 3) & 7
+    zi_l = iota_l >> 6
+    x0c = (xi_l == 0).astype(jnp.float32)
+    y0c = (yi_l == 0).astype(jnp.float32)
+    z0c = (zi_l == 0).astype(jnp.float32)
+
     def tri_round(t_star):
+        """One trilinear Newton step (reference castRay:141-150). The 8
+        corner taps fold into TWO weighted one-hot planes — base block and
+        the all-boundary-axes neighbor — built in SEPARABLE per-axis form:
+          b_axis = [i==l]·(1−r) + [i==l+1]·r     (l+1=8 matches nothing, so
+                                                  crossing corners drop out)
+          n_axis = at ? [i==0]·r : b_axis        (crossed axes wrap to 0)
+          W_b = bx·by·bz;  W_n = at_any ? nx·ny·nz : 0
+        Corners crossing a strict SUBSET of the boundary axes (off-diagonal
+        neighbors — unpaged) appear in neither plane; the value renormalizes
+        by the included weight, identical to the unrolled 8-corner version
+        this replaces (which cost ~2× the [512,256] VPU work)."""
         px = o_x + d_x * t_star
         py = o_y + d_y * t_star
         pz = o_z + d_z * t_star
@@ -348,11 +393,11 @@ def _raycast_kernel(
         lx = ib_x & 7
         ly = ib_y & 7
         lz = ib_z & 7
-        lin = lx + S * ly + S2 * lz
         cell = _cell_key(ib_x >> 3, ib_y >> 3, ib_z >> 3, grid_dims, grid_origin)
         at_x = lx == S - 1
         at_y = ly == S - 1
         at_z = lz == S - 1
+        at_any = at_x | at_y | at_z
         cell_nb = _cell_key(
             (ib_x >> 3) + at_x.astype(jnp.int32),
             (ib_y >> 3) + at_y.astype(jnp.int32),
@@ -360,45 +405,34 @@ def _raycast_kernel(
             grid_dims, grid_origin,
         )
 
-        ohl_b = jnp.zeros((512, NRAY), jnp.float32)
-        ohl_n = jnp.zeros((512, NRAY), jnp.float32)
-        w_n = jnp.zeros((1, NRAY), jnp.float32)
-        w_drop = jnp.zeros((1, NRAY), jnp.float32)
-        for dx, dy, dz in _CORNERS:
-            wx = rx if dx else (1.0 - rx)
-            wy = ry if dy else (1.0 - ry)
-            wz = rz if dz else (1.0 - rz)
-            w_c = wx * wy * wz
-            if (dx, dy, dz) == (0, 0, 0):
-                ohl_b = ohl_b + jnp.where(iota_l == lin, w_c, 0.0)
-                continue
-            # axes this corner crosses out of the base block
-            crosses = jnp.zeros((1, NRAY), bool)
-            covered = jnp.ones((1, NRAY), bool)  # corner ⊇ boundary axes
-            if dx:
-                crosses |= at_x
-            else:
-                covered &= ~at_x
-            if dy:
-                crosses |= at_y
-            else:
-                covered &= ~at_y
-            if dz:
-                crosses |= at_z
-            else:
-                covered &= ~at_z
-            in_base = ~crosses
-            in_nb = crosses & covered
-            lin_c = lin + dx + S * dy + S2 * dz  # valid only when in_base
-            # in-neighbor linear index: crossed axes wrap to 0
-            lnx = jnp.where(at_x, 0, lx + dx) if dx else lx
-            lny = jnp.where(at_y, 0, ly + dy) if dy else ly
-            lnz = jnp.where(at_z, 0, lz + dz) if dz else lz
-            lin_n = lnx + S * lny + S2 * lnz
-            ohl_b = ohl_b + jnp.where((iota_l == lin_c) & in_base, w_c, 0.0)
-            ohl_n = ohl_n + jnp.where((iota_l == lin_n) & in_nb, w_c, 0.0)
-            w_n = w_n + jnp.where(in_nb, w_c, 0.0)
-            w_drop = w_drop + jnp.where(crosses & ~covered, w_c, 0.0)
+        def axis_planes(i_l, zero_c, l, r, at):
+            b = jnp.where(i_l == l, 1.0 - r, 0.0) + jnp.where(
+                i_l == l + 1, r, 0.0
+            )
+            n = jnp.where(at, zero_c * r, b)
+            return b, n
+
+        bx_p, nx_p = axis_planes(xi_l, x0c, lx, rx, at_x)
+        by_p, ny_p = axis_planes(yi_l, y0c, ly, ry, at_y)
+        bz_p, nz_p = axis_planes(zi_l, z0c, lz, rz, at_z)
+        ohl_b = bx_p * by_p * bz_p
+        ohl_n = jnp.where(at_any, nx_p * ny_p * nz_p, 0.0)
+
+        # included-weight scalars ([1, 256] — cheap):
+        #   Σ W_b = Π_axis (at ? 1−r : 1);  Σ W_n = at_any ? Π_at r : 0
+        one = jnp.ones((1, NRAY), jnp.float32)
+        wb_sum = (
+            jnp.where(at_x, 1.0 - rx, one)
+            * jnp.where(at_y, 1.0 - ry, one)
+            * jnp.where(at_z, 1.0 - rz, one)
+        )
+        w_n = jnp.where(
+            at_any,
+            jnp.where(at_x, rx, one)
+            * jnp.where(at_y, ry, one)
+            * jnp.where(at_z, rz, one),
+            0.0,
+        )
 
         dn = (((1,), (0,)), ((), ()))
         q_b = jax.lax.dot_general(
@@ -421,14 +455,17 @@ def _raycast_kernel(
         )
         # renormalize by the weight actually included (excluded: corners in
         # off-diagonal neighbor blocks, and the neighbor block when unpaged)
-        wsum = (1.0 - w_n - w_drop) + jnp.where(matched_n, w_n, 0.0)
+        wsum = wb_sum + jnp.where(matched_n, w_n, 0.0)
         sdf_tri = jnp.where(
             matched_b, val / jnp.maximum(wsum, 0.25) * (1.0 / 128.0), 0.0
         )
         return t_star + sdf_tri * step_scale, sdf_tri
 
-    t_star, _s1 = tri_round(t_star)
-    t_star, sdf_fin = tri_round(t_star)
+    if "tri" not in debug_skip:
+        t_star, _s1 = tri_round(t_star)
+        t_star, sdf_fin = tri_round(t_star)
+    else:
+        sdf_fin = zero
 
     out_ref[0, 0:1, :] = o_x + d_x * t_star
     out_ref[0, 1:2, :] = o_y + d_y * t_star
@@ -476,6 +513,7 @@ def raycast_tiles(
     kp: int | None = None,  # pages marched per tile (≤ KPS; default KPS)
     tile_ids: jnp.ndarray | None = None,  # [cap] int32 tile per grid step
     n_tiles=None,  # dynamic live-step count (traced; default cap)
+    debug_skip: tuple = (),  # dev cost-attribution: 'dma'|'unpack'|'tri'
 ) -> jnp.ndarray:
     """Run the tile raycast kernel → [cap, 8, 256] f32 output planes
     (cap = len(tile_ids), default NT with identity mapping).
@@ -506,6 +544,7 @@ def raycast_tiles(
         grid_origin=grid_origin,
         block_size=block_size,
         tiles_w=tiles_w,
+        debug_skip=debug_skip,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # page_rows, page_key, cam, tile_ids in SMEM
@@ -515,7 +554,8 @@ def raycast_tiles(
         ],
         out_specs=pl.BlockSpec((1, 8, NRAY), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2 * kp * 8, s3), jnp.int32),
+            pltpu.VMEM((kp * 8, s3), jnp.int32),
+            pltpu.VMEM((kp * 8, s3), jnp.int32),
             pltpu.VMEM((kp, s3), jnp.int32),
             pltpu.VMEM((kp, s3), jnp.bfloat16),
             pltpu.VMEM((kp, NRAY), jnp.int32),

@@ -598,6 +598,18 @@ def integrate_into_scene_pallas(
     fp_v = jnp.minimum(vmax, float(H)) - jnp.maximum(vmin, 0.0)
     small = valid & (fp_u <= ik.WU_SMALL - 8) & (fp_v <= ik.WV_SMALL - 128)
 
+    def fits_one_lane_window(vlo, vhi):
+        # the 128-aligned window starting at the block's clipped v-origin
+        # already covers the whole v-span → a WV=128 window suffices
+        v0 = jnp.maximum(jnp.floor(vlo / 128.0), 0.0)
+        return vhi <= (v0 + 1.0) * 128.0
+
+    # narrow tier: u-footprint fits a 32-sublane window (≤24 px — p95 of the
+    # 5 mm bench distribution is 20 px) AND the v-span fits one lane window
+    narrow = (
+        small & (fp_u <= ik.WU_NARROW - 8) & fits_one_lane_window(vmin, vmax)
+    )
+
     with_color = (
         settings.use_color and view.rgb is not None and vol.vox_rgb is not None
     )
@@ -611,9 +623,12 @@ def integrate_into_scene_pallas(
         )
         pr = proj_rgb if proj_rgb is not None else proj
         rgb_p = ik.prep_rgb_planes(view.rgb)
-        umin_r, _umaxr, vmin_r, _vmaxr = ik.block_proj_bounds(
+        umin_r, _umaxr, vmin_r, vmax_r = ik.block_proj_bounds(
             bpos, M_rgb, pr, sp.voxel_size, hp.block_size
         )
+        # the rgb window shares the tier's dims — the narrow tier must fit
+        # the rgb-camera v-span in one lane window too
+        narrow = narrow & fits_one_lane_window(vmin_r, vmax_r)
         cam = ik.make_cam_vector(
             pose, proj, sp.voxel_size, sp.mu, sp.max_w,
             sp.stop_integrating_at_max_w, enable, img_size,
@@ -628,7 +643,11 @@ def integrate_into_scene_pallas(
 
     vox = vol.vox
     vox_rgb = vol.vox_rgb
-    for mask, window in ((small, (ik.WU_SMALL, ik.WV_SMALL)), (valid & ~small, None)):
+    for mask, window in (
+        (narrow, (ik.WU_NARROW, 128)),
+        (small & ~narrow, (ik.WU_SMALL, ik.WV_SMALL)),
+        (valid & ~small, None),
+    ):
         idx = jnp.nonzero(mask, size=V, fill_value=-1)[0]
         idc = jnp.clip(idx, 0, V - 1)
         sel = idx >= 0

@@ -56,6 +56,9 @@ WV_MAX = 384
 # Tap cost scales with window AREA: the small tier runs 6× cheaper.
 WU_SMALL = 64
 WV_SMALL = 256
+# narrow-tier u-window (integrate_into_scene_pallas's third tier): covers
+# footprints ≤ 24 px — ~p95 of the 5 mm bench's block footprints
+WU_NARROW = 32
 
 
 def _win_dims(img_size):

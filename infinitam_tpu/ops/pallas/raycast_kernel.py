@@ -707,7 +707,17 @@ def build_page_lists(
     # laid [tbs², NP] (lane dim NP — a [NP, tb, tb] layout pads tb to 128
     # lanes).
     SMALL_TB = 3
-    zq = jnp.clip(znear * (16383.0 / z_far), 0, 16383).astype(jnp.int32)
+    # pack (tile, z-bucket, candidate idx) into ONE int31 sort key: a single-
+    # array sort runs ~2× the key/value sort that carried the candidate
+    # index separately. The z-bucket keeps far-first DROP priority on tile
+    # overflow (ties break by candidate index — priority, not correctness:
+    # the kernel derives exact per-ray ranges from the slabs in any order).
+    bits_t = max((nt + 1).bit_length(), 1)
+    bits_i = max((NP - 1).bit_length(), 1)
+    bits_z = 31 - bits_t - bits_i
+    use_packed = bits_z >= 4
+    zq_max = (1 << bits_z) - 1 if use_packed else 16383
+    zq = jnp.clip(znear * (zq_max / z_far), 0, zq_max).astype(jnp.int32)
     iota_np = jnp.arange(NP, dtype=jnp.int32)
     du_c = t1u - t0u
     dv_c = t1v - t0v
@@ -725,11 +735,19 @@ def build_page_lists(
         tv = t0v_t[None, :] + dv
         in_box = (tu <= t1u_t[None, :]) & (tv <= t1v_t[None, :]) & ok_t[None, :]
         tile_id = jnp.where(in_box, tv * tw + tu, nt)
-        skey = (tile_id << 14) | zq_t[None, :]  # nt<2¹⁷ ⇒ fits int32
+        if use_packed:
+            skey = (
+                (tile_id << (bits_z + bits_i))
+                | (zq_t[None, :] << bits_i)
+                | rows_t[None, :]
+            )
+            rows_b = None
+        else:
+            skey = (tile_id << 14) | zq_t[None, :]  # nt<2¹⁷ ⇒ fits int32
+            rows_b = jnp.broadcast_to(rows_t[None, :], tile_id.shape).reshape(-1)
         skey = jnp.where(in_box, skey, jnp.int32(0x7FFFFFFF))
-        rows_b = jnp.broadcast_to(rows_t[None, :], tile_id.shape)
         return (
-            skey.reshape(-1), rows_b.reshape(-1),
+            skey.reshape(-1), rows_b,
             in_box.reshape(-1), jnp.sum(in_box).astype(jnp.int32),
         )
 
@@ -745,7 +763,6 @@ def build_page_lists(
         lsel < NP, zq[lsel_c], lsel_c, tb,
     )
     skey_raw = jnp.concatenate([sk_s, sk_l])
-    rowv_raw = jnp.concatenate([rv_s, rv_l])
     in_box_raw = jnp.concatenate([ib_s, ib_l])
     n_raw = skey_raw.shape[0]
     n_pairs = np_s + np_l
@@ -756,17 +773,24 @@ def build_page_lists(
     # scatters then run on ~32 k elements. Pairs beyond the cap are dropped
     # and counted in n_overflow.
     # sized for dense-visibility configs: 5 mm voxels see ~8.5 k blocks ×
-    # ~3 tiles ≈ 25 k pairs — cap must stay above that or near pages drop
-    cap = min(n_raw, max(16384, (nt * kp) // 2))
+    # ~3 tiles ≈ 25-27 k pairs — cap must stay above that or near pages drop
+    cap = min(n_raw, max(16384, min((nt * kp) // 2, 28672)))
     pos = jnp.cumsum(in_box_raw.astype(jnp.int32)) - 1
     dst = jnp.where(in_box_raw & (pos < cap), pos, cap)
     skey = jnp.full((cap,), jnp.int32(0x7FFFFFFF)).at[dst].set(
         skey_raw, mode="drop"
     )
-    rowv = jnp.zeros((cap,), jnp.int32).at[dst].set(rowv_raw, mode="drop")
-
-    skey_s, rows_s = jax.lax.sort_key_val(skey, rowv)
-    tile_s = jnp.where(skey_s == 0x7FFFFFFF, nt, skey_s >> 14)
+    if use_packed:
+        skey_s = jax.lax.sort(skey)
+        rows_s = skey_s & ((1 << bits_i) - 1)
+        tile_s = jnp.where(
+            skey_s == 0x7FFFFFFF, nt, skey_s >> (bits_z + bits_i)
+        )
+    else:
+        rowv_raw = jnp.concatenate([rv_s, rv_l])
+        rowv = jnp.zeros((cap,), jnp.int32).at[dst].set(rowv_raw, mode="drop")
+        skey_s, rows_s = jax.lax.sort_key_val(skey, rowv)
+        tile_s = jnp.where(skey_s == 0x7FFFFFFF, nt, skey_s >> 14)
     n = tile_s.shape[0]
     iarr = jnp.arange(n, dtype=jnp.int32)
     new_seg = jnp.concatenate([jnp.ones((1,), bool), tile_s[1:] != tile_s[:-1]])

@@ -1648,7 +1648,8 @@ def step_frame_swap(
     )
     vol, swap_states, ev_ids, ev_sdf, ev_w, ev_clr, ev_wc, ev_n = (
         sw.evict_blocks_window(
-            vol, swap_states, render_state.visible_type, settings, q,
+            vol, swap_states, render_state.visible_type, settings,
+            sw.evict_quantum(settings),
             render_state.epoch if render_state.epoch is not None
             else jnp.int32(0),
         )

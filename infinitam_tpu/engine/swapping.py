@@ -613,6 +613,17 @@ def exchange_quantum(settings: Settings) -> int:
     return min(256, settings.hashing.n_transfer_blocks)
 
 
+def evict_quantum(settings: Settings) -> int:
+    """Per-frame EVICTION slab size (blocks) — deliberately smaller than the
+    needed-list quantum: the eviction slabs are the only bulk D2H traffic on
+    the per-frame path, and the host copies the WHOLE static buffer (96 KB
+    at 64 blocks) asynchronously right after dispatch — no on-device
+    slicing, no blocking wait (the r5 sliced-slab staging cost ~40 ms/frame
+    in slice dispatches + un-landed transfers). Entries beyond the quantum
+    stay state 2 and drip over subsequent frames."""
+    return min(64, settings.hashing.n_transfer_blocks)
+
+
 class SwapExchange:
     """Pipelined host↔device swap exchange (r5, VERDICT r4 item 5b).
 
@@ -654,8 +665,7 @@ class SwapExchange:
         # host-device pipeline to depth 1 and cap throughput below the
         # device rate)
         self._in_q = []  # [Q+1] metas — copies in flight
-        self._out_q = []  # (ev_meta, slabs...) — meta copies in flight
-        self._out_b = None  # (ids_np, sliced slabs, n) — slab copy in flight
+        self._out_q = []  # (ev_meta, slabs...) — copies in flight
         self._merge_flips = None  # [Q] device ids for the next dispatch
         self._merge_slab = None  # data slab for the next dispatch
 
@@ -668,40 +678,34 @@ class SwapExchange:
 
     def after_frame(self, in_meta, out_pack, cache: GlobalCache):
         """Called after the frame's device programs are dispatched: start
-        the metadata copies, then complete EARLIER frames' host halves on
-        landed data (numpy only — overlaps the device queue). A meta is
-        read only after PIPE_DEPTH newer frames were dispatched, so the
-        read never waits on the device."""
+        the metadata AND eviction-slab copies (whole static buffers — an
+        on-device slice would be an extra dispatch and its copy could not
+        start until the slice ran; the r5 sliced staging cost ~40 ms/frame),
+        then complete EARLIER frames' host halves on landed data (numpy
+        only — overlaps the device queue). A buffer is read only after
+        PIPE_DEPTH newer frames were dispatched, so the read never waits
+        on the device."""
         in_meta.copy_to_host_async()
-        out_pack[0].copy_to_host_async()
+        for a in out_pack:
+            if a is not None:
+                a.copy_to_host_async()
         self._in_q.append(in_meta)
         self._out_q.append(out_pack)
         self._merge_flips = None
         self._merge_slab = None
-        # stage C: scatter eviction slabs whose copies landed
-        if self._out_b is not None:
-            ids_np, sdf, w, clr, wc, n_ = self._out_b
-            cache.stored_sdf[ids_np] = np.asarray(sdf)[:n_]
-            cache.stored_w[ids_np] = np.asarray(w)[:n_]
-            if clr is not None and cache.stored_clr is not None:
-                cache.stored_clr[ids_np] = np.asarray(clr)[:n_]
-                cache.stored_wc[ids_np] = np.asarray(wc)[:n_]
-            cache.has_stored[ids_np] = True
-            self._out_b = None
-        # stage B: an old frame's eviction count landed → copy the slab
+        # eviction scatter: an old frame's slabs landed → numpy only
         if len(self._out_q) > self.PIPE_DEPTH:
             ev_meta, sdf, w, clr, wc = self._out_q.pop(0)
             meta = np.asarray(ev_meta)  # landed
             n_ = int(meta[-1])
             if n_ > 0:
-                q = min(sdf.shape[0], -(-n_ // self._DQ) * self._DQ)
-                slabs = tuple(
-                    None if a is None else a[:q] for a in (sdf, w, clr, wc)
-                )
-                for a in slabs:
-                    if a is not None:
-                        a.copy_to_host_async()
-                self._out_b = (meta[:n_], *slabs, n_)
+                ids_np = meta[:n_]
+                cache.stored_sdf[ids_np] = np.asarray(sdf)[:n_]
+                cache.stored_w[ids_np] = np.asarray(w)[:n_]
+                if clr is not None and cache.stored_clr is not None:
+                    cache.stored_clr[ids_np] = np.asarray(clr)[:n_]
+                    cache.stored_wc[ids_np] = np.asarray(wc)[:n_]
+                cache.has_stored[ids_np] = True
         # swap-in: an old frame's needed list landed → resolve it next frame
         if len(self._in_q) > self.PIPE_DEPTH:
             meta_dev = self._in_q.pop(0)
@@ -773,7 +777,6 @@ class SwapExchange:
             )
         self._in_q = []
         self._out_q = []
-        self._out_b = None
         self._merge_flips = None
         self._merge_slab = None
         return vol, swap_states

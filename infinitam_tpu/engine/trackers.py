@@ -31,18 +31,6 @@ class TrackResult(NamedTuple):
     num_valid: jnp.ndarray  # valid points at the finest level
 
 
-class _LevelState(NamedTuple):
-    inv_pose: jnp.ndarray  # [4,4] camera→world current estimate
-    inv_pose_good: jnp.ndarray
-    f_old: jnp.ndarray
-    hessian_good: jnp.ndarray  # [6,6]
-    nabla_good: jnp.ndarray  # [6]
-    lam: jnp.ndarray
-    done: jnp.ndarray
-    f_last: jnp.ndarray
-    n_last: jnp.ndarray
-
-
 def level_modes(params: TrackingParams) -> List[str]:
     """Iteration type per level, index 0 = finest (reference:
     ITMLibSettings.cpp trackingRegime — BOTH at fine levels, ROTATION at the
@@ -147,13 +135,22 @@ def track_depth(
 
         w_tiles = weight_tiles[lvl]
 
-        def body(_i, s: _LevelState, *, d_lvl=d_lvl, vproj=vproj, mode=mode,
+        # SCALARIZED GN state (see ops/icp.py "Scalarized GN-iteration
+        # helpers"): the loop carries pose/hessian/nabla as tuples of 0-d
+        # scalars so the accept/reject + damped solve + SE3 update run as a
+        # pure scalar graph — each array↔scalar boundary inside a lax loop
+        # costs ~0.2 ms, and the array form paid it several times per
+        # iteration (tracker floor ~0.5 ms/iter of glue).
+        def body(_i, s, *, d_lvl=d_lvl, vproj=vproj, mode=mode,
                  dist_thresh=dist_thresh, w_lvl=w_lvl, w_tiles=w_tiles, lvl=lvl):
+            (ip, ip_good, f_old0, h_good0, g_good0, lam0, done0,
+             f_last0, n_last0) = s
+            ip_mat = icp.mat_from_pose12(ip)
             if use_pallas:
                 from infinitam_tpu.ops.pallas import icp_kernel as ik
 
                 b, A, valid = ik.residuals_tiles(
-                    d_lvl, vproj, planes, view_proj, s.inv_pose, scene_pose,
+                    d_lvl, vproj, planes, view_proj, ip_mat, scene_pose,
                     dist_thresh, points_map.shape[:2], lvl,
                 )
                 gh = icp.reduce_gh(
@@ -166,63 +163,81 @@ def track_depth(
                     points_map,
                     normals_map,
                     view_proj,  # scene maps are full-res → level-0 intrinsics
-                    s.inv_pose,
+                    ip_mat,
                     scene_pose,
                     dist_thresh,
                 )
                 gh = icp.reduce_gh(b, A, valid, params.min_valid_points, weights=w_lvl)
 
-            reject = (gh.num_valid <= 0) | (gh.f > s.f_old)
-            nv = jnp.maximum(gh.num_valid, 1).astype(jnp.float32)
-            hessian_good = jnp.where(reject, s.hessian_good, gh.hessian / nv)
-            nabla_good = jnp.where(reject, s.nabla_good, gh.nabla / nv)
-            f_old = jnp.where(reject, s.f_old, gh.f)
-            lam = jnp.where(reject, s.lam * 10.0, s.lam / 10.0)
-            inv_pose_base = jnp.where(reject, s.inv_pose_good, s.inv_pose)
-            inv_pose_good = jnp.where(reject, s.inv_pose_good, s.inv_pose)
+            # ONE array→scalar crossing: extract f, N, ∇, H as scalars
+            f = gh.f
+            n_valid = gh.num_valid
+            h = [[gh.hessian[i, j] for j in range(6)] for i in range(6)]
+            g = [gh.nabla[i] for i in range(6)]
 
-            step = icp.solve_delta(nabla_good, hessian_good, lam, mode)
-            new_inv = se3.coerce(icp.apply_delta(inv_pose_base, step))
-            converged = icp.has_converged(step, params.termination_threshold)
-
-            frozen = s.done
-            out = _LevelState(
-                inv_pose=jnp.where(frozen, s.inv_pose, new_inv),
-                inv_pose_good=jnp.where(frozen, s.inv_pose_good, inv_pose_good),
-                f_old=jnp.where(frozen, s.f_old, f_old),
-                hessian_good=jnp.where(frozen, s.hessian_good, hessian_good),
-                nabla_good=jnp.where(frozen, s.nabla_good, nabla_good),
-                lam=jnp.where(frozen, s.lam, lam),
-                done=s.done | converged,
-                f_last=jnp.where(frozen, s.f_last, gh.f),
-                n_last=jnp.where(frozen, s.n_last, gh.num_valid),
+            reject = (n_valid <= 0) | (f > f_old0)
+            nv = jnp.maximum(n_valid, 1).astype(jnp.float32)
+            h_good = tuple(
+                jnp.where(reject, h_good0[6 * i + j], h[i][j] / nv)
+                for i in range(6) for j in range(6)
             )
-            return out
+            g_good = tuple(
+                jnp.where(reject, g_good0[i], g[i] / nv) for i in range(6)
+            )
+            f_old = jnp.where(reject, f_old0, f)
+            lam = jnp.where(reject, lam0 * 10.0, lam0 / 10.0)
+            ip_base = tuple(
+                jnp.where(reject, ip_good[k], ip[k]) for k in range(12)
+            )
 
-        init = _LevelState(
-            inv_pose=inv_pose,
-            inv_pose_good=inv_pose,
-            f_old=jnp.array(1e20, dtype=jnp.float32),
-            hessian_good=jnp.zeros((6, 6), dtype=jnp.float32),
-            nabla_good=jnp.zeros((6,), dtype=jnp.float32),
-            lam=jnp.array(1.0, dtype=jnp.float32),
-            done=jnp.array(False),
-            f_last=jnp.array(1e5, dtype=jnp.float32),
-            n_last=jnp.array(0, dtype=jnp.int32),
+            step = icp.solve_delta_scalars(
+                g_good, [[h_good[6 * i + j] for j in range(6)] for i in range(6)],
+                lam, mode,
+            )
+            new_ip = icp.coerce_scalars(icp.apply_delta_scalars(ip_base, step))
+            converged = icp.has_converged_scalars(
+                step, params.termination_threshold
+            )
+
+            frozen = done0
+            return (
+                tuple(jnp.where(frozen, ip[k], new_ip[k]) for k in range(12)),
+                tuple(jnp.where(frozen, ip_good[k], ip_base[k]) for k in range(12)),
+                jnp.where(frozen, f_old0, f_old),
+                tuple(jnp.where(frozen, h_good0[k], h_good[k]) for k in range(36)),
+                tuple(jnp.where(frozen, g_good0[k], g_good[k]) for k in range(6)),
+                jnp.where(frozen, lam0, lam),
+                done0 | converged,
+                jnp.where(frozen, f_last0, f),
+                jnp.where(frozen, n_last0, n_valid),
+            )
+
+        ip0 = icp.pose12_from_mat(inv_pose)
+        zero = jnp.float32(0.0)
+        init = (
+            ip0,
+            ip0,
+            jnp.array(1e20, dtype=jnp.float32),
+            tuple(zero for _ in range(36)),
+            tuple(zero for _ in range(6)),
+            jnp.array(1.0, dtype=jnp.float32),
+            jnp.array(False),
+            jnp.array(1e5, dtype=jnp.float32),
+            jnp.array(0, dtype=jnp.int32),
         )
         # early-exit loop (the reference breaks on HasConverged,
         # ITMDepthTracker.cpp:190-193): converged levels skip their remaining
         # residual passes entirely instead of running them masked
         final = jax.lax.while_loop(
-            lambda c: (c[0] < n_iter) & ~c[1].done,
+            lambda c: (c[0] < n_iter) & ~c[1][6],
             lambda c: (c[0] + 1, body(c[0], c[1])),
             (jnp.int32(0), init),
         )[1]
         # the level hands the CURRENT pose to the next level (reference keeps
         # approxInvPose across levels via trackingState->pose_d)
-        inv_pose = final.inv_pose
-        f_final = final.f_last
-        n_final = final.n_last
+        inv_pose = icp.mat_from_pose12(final[0])
+        f_final = final[7]
+        n_final = final[8]
 
     return TrackResult(pose=se3.invert(se3.coerce(inv_pose)), f=f_final, num_valid=n_final)
 

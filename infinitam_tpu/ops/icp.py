@@ -149,26 +149,212 @@ def solve_delta(
 
 
 def _solve_psd(Amat: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
-    """Cholesky solve with a singularity guard (zero step on failure)."""
-    eps = 1e-20 * jnp.eye(Amat.shape[0], dtype=Amat.dtype)
-    L = jnp.linalg.cholesky(Amat + eps)
-    ok = jnp.all(jnp.isfinite(L))
-    Lsafe = jnp.where(ok, L, jnp.eye(Amat.shape[0], dtype=Amat.dtype))
-    y = jax.scipy.linalg.solve_triangular(Lsafe, g, lower=True)
-    s = jax.scipy.linalg.solve_triangular(Lsafe.T, y, lower=False)
-    return jnp.where(ok & jnp.all(jnp.isfinite(s)), s, jnp.zeros_like(g))
+    """Cholesky solve with a singularity guard (zero step on failure).
+
+    UNROLLED scalar Cholesky + substitution, mirroring the reference's own
+    ORUtils/Cholesky.h:16-67: at 6×6, jnp.linalg.cholesky plus two
+    solve_triangular calls lower to iterative TPU kernels costing ~0.5 ms
+    PER GN ITERATION — the unrolled form fuses into one elementwise graph
+    and is the difference between the tracker's floor and its budget."""
+    n = Amat.shape[0]
+    a = [[Amat[i, j] for j in range(n)] for i in range(n)]
+    L = [[None] * n for _ in range(n)]
+    ok = jnp.asarray(True)
+    tiny = jnp.asarray(1e-20, Amat.dtype)
+    for j in range(n):
+        s = a[j][j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        ok = ok & (s > tiny)
+        d = jnp.sqrt(jnp.maximum(s, tiny))
+        L[j][j] = d
+        for i in range(j + 1, n):
+            s2 = a[i][j]
+            for k in range(j):
+                s2 = s2 - L[i][k] * L[j][k]
+            L[i][j] = s2 / d
+    y = [None] * n
+    for i in range(n):
+        s = g[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    sol = jnp.stack(x)
+    return jnp.where(ok & jnp.all(jnp.isfinite(sol)), sol, jnp.zeros_like(g))
+
+
+# ---------------------------------------------------------------------------
+# Scalarized GN-iteration helpers (the tracker's inner-loop representation).
+#
+# Measured TPU loop behaviour: inside a sequential lax loop, ANY op that
+# combines a loop-carried scalar with an array (broadcast, tiny matmul,
+# element extraction from a captured array) costs ~0.2 ms — an SMEM↔VMEM
+# boundary sync — while arbitrarily long pure-scalar graphs and jnp.stack
+# of scalars are ~free. So the GN loop carries its pose (12 scalars,
+# row-major [R|t]), hessian (36) and nabla (6) as Python tuples of 0-d
+# values, crosses into array land ONCE per iteration (the residual
+# kernel + reduction), and extracts back ONCE.
+# ---------------------------------------------------------------------------
+
+
+def pose12_from_mat(M: jnp.ndarray):
+    """[4,4] → tuple of 12 scalars (rows of [R|t], row-major)."""
+    return tuple(M[i, j] for i in range(3) for j in range(4))
+
+
+def mat_from_pose12(p) -> jnp.ndarray:
+    """tuple of 12 scalars → [4,4] (built by stacking scalars — free on TPU,
+    unlike broadcast-style construction)."""
+    z = p[0] * 0.0
+    rows = [jnp.stack([p[4 * i + j] for j in range(4)]) for i in range(3)]
+    rows.append(jnp.stack([z, z, z, z + 1.0]))
+    return jnp.stack(rows)
+
+
+def _chol_solve_scalars(a, g):
+    """Unrolled scalar Cholesky solve (reference ORUtils/Cholesky.h:16-67).
+    a: n×n nested list of scalars, g: list of n scalars.
+    Returns (x list, ok scalar bool)."""
+    n = len(g)
+    L = [[None] * n for _ in range(n)]
+    ok = None
+    tiny = 1e-20
+    for j in range(n):
+        s = a[j][j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        okj = s > tiny
+        ok = okj if ok is None else (ok & okj)
+        d = jnp.sqrt(jnp.maximum(s, tiny))
+        L[j][j] = d
+        for i in range(j + 1, n):
+            s2 = a[i][j]
+            for k in range(j):
+                s2 = s2 - L[i][k] * L[j][k]
+            L[i][j] = s2 / d
+    y = [None] * n
+    for i in range(n):
+        s = g[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    for xi in x:
+        ok = ok & jnp.isfinite(xi)
+    return x, ok
+
+
+def solve_delta_scalars(nabla, hessian, lam, mode):
+    """solve_delta on scalar tuples: nabla len-6, hessian 6×6 nested list,
+    lam scalar. Returns a len-6 list of step scalars (zero on failure)."""
+    if mode == MODE_BOTH:
+        idx = [0, 1, 2, 3, 4, 5]
+    elif mode == MODE_ROTATION:
+        idx = [0, 1, 2]
+    else:
+        idx = [3, 4, 5]
+    a = [
+        [
+            hessian[i][j] * (1.0 + lam) if i == j else hessian[i][j]
+            for j in idx
+        ]
+        for i in idx
+    ]
+    x, ok = _chol_solve_scalars(a, [nabla[i] for i in idx])
+    zero = nabla[0] * 0.0
+    step = [zero] * 6
+    for pos, i in enumerate(idx):
+        step[i] = jnp.where(ok, x[pos], 0.0)
+    return step
+
+
+def apply_delta_scalars(p, step):
+    """apply_delta on a 12-scalar pose: Tinc(step) @ P, scalar graph."""
+    w0, w1, w2, t0, t1, t2 = step
+    tinc = [
+        [1.0, w2, -w1, t0],
+        [-w2, 1.0, w0, t1],
+        [w1, -w0, 1.0, t2],
+    ]
+    P = [[p[4 * i + j] for j in range(4)] for i in range(3)]
+    out = []
+    for i in range(3):
+        for j in range(4):
+            s = sum(tinc[i][k] * P[k][j] for k in range(3))
+            if j == 3:
+                s = s + tinc[i][3]
+            out.append(s)
+    return tuple(out)
+
+
+def coerce_scalars(p):
+    """se3.coerce on a 12-scalar pose (two scalar Newton iterations)."""
+    r = [[p[4 * i + j] for j in range(3)] for i in range(3)]
+    for _ in range(2):
+        rtr = [
+            [sum(r[k][i] * r[k][j] for k in range(3)) for j in range(3)]
+            for i in range(3)
+        ]
+        n = [
+            [(1.5 if i == j else 0.0) - 0.5 * rtr[i][j] for j in range(3)]
+            for i in range(3)
+        ]
+        r = [
+            [sum(r[i][k] * n[k][j] for k in range(3)) for j in range(3)]
+            for i in range(3)
+        ]
+    return tuple(
+        r[i][j] if j < 3 else p[4 * i + 3]
+        for i in range(3)
+        for j in range(4)
+    )
+
+
+def has_converged_scalars(step, threshold: float):
+    ss = sum(si * si for si in step)
+    return jnp.sqrt(ss) / 6.0 < threshold
 
 
 def apply_delta(approx_inv_pose: jnp.ndarray, step: jnp.ndarray) -> jnp.ndarray:
     """Left-multiply the small-angle increment onto the camera→world pose
     (reference: ApplyDelta — Tinc rotation part is I − [ω]× in row-major
-    terms, translation step[3:6])."""
-    w, t = step[:3], step[3:]
-    eye = jnp.eye(3, dtype=approx_inv_pose.dtype)
-    Tinc = se3.pack_rt(eye - se3.skew(w), t)
-    return Tinc @ approx_inv_pose
+    terms, translation step[3:6]).
+
+    Scalar-unrolled: a 4×4 matmul + skew build on TPU pays ~0.2 ms in
+    tiny-matrix layout ops per call (measured), once per GN iteration."""
+    P = approx_inv_pose
+    w0, w1, w2 = step[0], step[1], step[2]
+    # Tinc rows: [1, w2, −w1 | t0], [−w2, 1, w0 | t1], [w1, −w0, 1 | t2]
+    tinc = [
+        [1.0, w2, -w1, step[3]],
+        [-w2, 1.0, w0, step[4]],
+        [w1, -w0, 1.0, step[5]],
+    ]
+    rows = [
+        jnp.stack([
+            sum(tinc[i][k] * P[k, j] for k in range(3))
+            + (tinc[i][3] if j == 3 else 0.0)
+            for j in range(4)
+        ])
+        for i in range(3)
+    ]
+    last = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=P.dtype)
+    return jnp.stack(rows + [last])
 
 
 def has_converged(step: jnp.ndarray, threshold: float) -> jnp.ndarray:
-    """|step|/6 < threshold (reference: HasConverged)."""
-    return jnp.sqrt(jnp.sum(step * step)) / 6.0 < threshold
+    """|step|/6 < threshold (reference: HasConverged). Scalar-unrolled sum
+    (a 6-lane vector reduce costs ~0.2 ms in layout ops on TPU)."""
+    ss = sum(step[i] * step[i] for i in range(6))
+    return jnp.sqrt(ss) / 6.0 < threshold

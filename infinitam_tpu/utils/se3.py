@@ -169,7 +169,35 @@ def small_delta(step: jnp.ndarray) -> jnp.ndarray:
 def coerce(M: jnp.ndarray) -> jnp.ndarray:
     """Re-orthonormalize the rotation part after incremental updates
     (reference: ITMPose::Coerce — log/exp round trip). Uses a polar-like
-    Gram-Schmidt which is cheap, jit-friendly, and batch-safe."""
+    Newton iteration which is cheap, jit-friendly, and batch-safe.
+
+    Unbatched 4×4 inputs take a fully SCALAR-unrolled path: tiny-matrix
+    matmuls/transposes on TPU pay ~0.2 ms in layout ops PER CALL (measured),
+    and the tracker calls this once per GN iteration."""
+    if M.ndim == 2 and M.shape == (4, 4):
+        r = [[M[i, j] for j in range(3)] for i in range(3)]
+        for _ in range(2):
+            # RtR = RᵀR; R ← R(1.5 I − 0.5 RtR), all scalar
+            rtr = [
+                [sum(r[k][i] * r[k][j] for k in range(3)) for j in range(3)]
+                for i in range(3)
+            ]
+            n = [
+                [
+                    (1.5 if i == j else 0.0) - 0.5 * rtr[i][j]
+                    for j in range(3)
+                ]
+                for i in range(3)
+            ]
+            r = [
+                [sum(r[i][k] * n[k][j] for k in range(3)) for j in range(3)]
+                for i in range(3)
+            ]
+        rows = [
+            jnp.stack([r[i][0], r[i][1], r[i][2], M[i, 3]]) for i in range(3)
+        ]
+        last = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=M.dtype)
+        return jnp.stack(rows + [last])
     R = M[..., :3, :3]
     t = M[..., :3, 3]
     # two Newton iterations of R ← R(3I − RᵀR)/2 converge fast for near-orthonormal R
